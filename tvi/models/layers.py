@@ -1,0 +1,186 @@
+"""Shared flax.linen layers: sinusoidal embeddings, MLPs, GEGLU feed-forward,
+alpha blending, and the generic Attention module.
+
+These are from-scratch TPU-native (NHWC / seq-last-dim) implementations of
+the behaviors in the reference's vendored diffusers primitives:
+  - Timesteps / TimestepEmbedding (used at unet_spatio_temporal_condition.py:391-398)
+  - FeedForward + GEGLU (src/models/attention.py:481-535)
+  - AlphaBlender (imported at src/models/unet_3d_blocks.py:23-29)
+  - Attention + AttnProcessor2_0 (src/models/attention_processor.py:38,1178)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tvi.ops.attention import dot_product_attention
+
+
+def gn_groups(channels: int, target: int = 32) -> int:
+    """GroupNorm group count: 32 for all real model widths (every reference
+    channel count is a multiple of 32); falls back to gcd for the thin test
+    configs."""
+    import math as _math
+    return _math.gcd(target, channels)
+
+
+def get_timestep_embedding(
+    timesteps: jax.Array,
+    embedding_dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: int = 10000,
+) -> jax.Array:
+    """Sinusoidal timestep embedding (diffusers semantics, flip_sin_to_cos
+    and shift=0 as configured in the SVD UNet)."""
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """linear -> silu -> linear (diffusers TimestepEmbedding)."""
+
+    time_embed_dim: int
+    out_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample: jax.Array) -> jax.Array:
+        sample = nn.Dense(self.time_embed_dim, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="linear_1")(sample)
+        sample = nn.silu(sample)
+        out_dim = self.out_dim or self.time_embed_dim
+        sample = nn.Dense(out_dim, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="linear_2")(sample)
+        return sample
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (reference attention.py:481-535): project to
+    mult*dim*2, split, x*gelu(gate), project back."""
+
+    dim_out: Optional[int] = None
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        proj = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="proj_geglu")(x)
+        hidden, gate = jnp.split(proj, 2, axis=-1)
+        hidden = hidden * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim_out or dim, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="proj_out")(hidden)
+
+
+class AlphaBlender(nn.Module):
+    """Learned spatial/temporal blend (diffusers AlphaBlender).
+
+    merge_strategy 'learned_with_images' with the all-zero
+    image_only_indicator the reference always passes
+    (unet_spatio_temporal_condition.py:414) reduces to
+    alpha = sigmoid(mix_factor); 'learned' is identical.  With
+    switch_spatial_to_temporal_mix=True (SpatioTemporalResBlock), the roles
+    flip: out = (1-alpha)*spatial + alpha*temporal.
+    """
+
+    alpha: float = 0.5
+    switch_spatial_to_temporal_mix: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_spatial: jax.Array, x_temporal: jax.Array) -> jax.Array:
+        # diffusers initializes the raw parameter to `alpha` and applies
+        # sigmoid on read (AlphaBlender.get_alpha), so init 0.5 -> 0.622.
+        mix_factor = self.param(
+            "mix_factor",
+            lambda key: jnp.full((1,), self.alpha, dtype=self.param_dtype),
+        )
+        a = jax.nn.sigmoid(mix_factor.astype(jnp.float32)).astype(x_spatial.dtype)
+        if self.switch_spatial_to_temporal_mix:
+            a = 1.0 - a
+        return a * x_spatial + (1.0 - a) * x_temporal
+
+
+class Attention(nn.Module):
+    """Multi-head attention with separate q and kv inputs.
+
+    Mirrors the behavior of the reference's Attention + AttnProcessor2_0
+    (attention_processor.py:38,1178): linear q/k/v without bias (except VAE
+    attention, qkv_bias=True), to_out with bias, optional pre-GroupNorm and
+    residual connection (VAE mid attention).  ``bias``/``want_stats`` expose
+    the temporal-bias-mask and attention-statistics features (see
+    tvi.ops.attention).
+    """
+
+    heads: int
+    dim_head: int
+    out_dim: Optional[int] = None
+    qkv_bias: bool = False
+    residual_connection: bool = False
+    norm_num_groups: Optional[int] = None
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,                      # (B, Sq, C)
+        encoder_hidden_states: Optional[jax.Array] = None,  # (B, Sk, Ck)
+        bias: Optional[jax.Array] = None,
+        want_stats: bool = False,
+    ):
+        residual = hidden_states
+        if self.norm_num_groups is not None:
+            hidden_states = nn.GroupNorm(
+                num_groups=self.norm_num_groups, epsilon=self.eps,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="group_norm")(hidden_states)
+
+        context = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+        inner = self.heads * self.dim_head
+        dense = lambda n, d: nn.Dense(d, use_bias=self.qkv_bias, dtype=self.dtype,
+                                      param_dtype=self.param_dtype, name=n)
+        q = dense("to_q", inner)(hidden_states)
+        k = dense("to_k", inner)(context)
+        v = dense("to_v", inner)(context)
+
+        b, sq = q.shape[0], q.shape[1]
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.heads, self.dim_head)
+        k = k.reshape(b, sk, self.heads, self.dim_head)
+        v = v.reshape(b, sk, self.heads, self.dim_head)
+
+        out = dot_product_attention(q, k, v, bias=bias, want_stats=want_stats)
+        stats = None
+        if want_stats:
+            out, stats = out
+        out = out.reshape(b, sq, inner)
+
+        out = nn.Dense(self.out_dim or residual.shape[-1], use_bias=True,
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="to_out")(out)
+        if self.residual_connection:
+            out = out + residual
+        if want_stats:
+            return out, stats
+        return out

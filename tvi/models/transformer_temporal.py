@@ -1,0 +1,203 @@
+"""Spatio-temporal transformer: spatial attention over pixels, temporal
+attention over frames, learned alpha blend.
+
+From-scratch rebuild of the reference's most important block
+(src/models/transformer_temporal.py:207-359 ``TransformerSpatioTemporalModel``
+with ``BasicTransformerBlock`` from src/models/attention.py:84 and the
+diffusers ``TemporalBasicTransformerBlock`` it actually uses).
+
+TPU-native design notes:
+  - hidden states flow as (B*F, H*W, C) for spatial attention and are
+    transposed once to (B*H*W, F, C) for temporal attention — a pure layout
+    change XLA handles with a single transpose, keeping both attention
+    matmuls MXU-shaped (many small rows for temporal, long seq for spatial).
+  - the spatial/temporal conditioning split (tuple encoder_hidden_states,
+    reference transformer_temporal.py:269-297: the temporal context is the
+    first frame's tokens broadcast to every pixel) is computed without
+    materializing the (H*W*B, S, D) broadcast — attention consumes a
+    (B, 1(broadcast), S, D) context.
+  - per-frame attention statistics (the reference's monkey-patch feature)
+    are emitted via ``self.sow('intermediates', ...)`` when requested.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tvi.models.layers import (
+    AlphaBlender,
+    Attention,
+    FeedForward,
+    TimestepEmbedding,
+    get_timestep_embedding,
+    gn_groups,
+)
+from tvi.ops.attention import temporal_bias_mask
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN -> self-attn -> LN -> cross-attn -> LN -> GEGLU FF, all residual
+    (reference attention.py:84)."""
+
+    heads: int
+    dim_head: int
+    cross_attention: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, encoder_hidden_states=None):
+        ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                    param_dtype=self.param_dtype, name=n)
+        attn = lambda n: Attention(heads=self.heads, dim_head=self.dim_head,
+                                   dtype=self.dtype, param_dtype=self.param_dtype, name=n)
+        hidden_states = attn("attn1")(ln("norm1")(hidden_states)) + hidden_states
+        if self.cross_attention:
+            hidden_states = attn("attn2")(
+                ln("norm2")(hidden_states), encoder_hidden_states) + hidden_states
+        hidden_states = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype,
+                                    name="ff")(ln("norm3")(hidden_states)) + hidden_states
+        return hidden_states
+
+
+class TemporalBasicTransformerBlock(nn.Module):
+    """Temporal block: ff_in -> self-attn over frames -> cross-attn to the
+    conditioning tokens -> FF (diffusers TemporalBasicTransformerBlock, used
+    via the import at reference transformer_temporal.py:22).
+
+    Input here is already frame-major: (B*S, F, C) where S = H*W.
+    """
+
+    heads: int
+    dim_head: int
+    cross_attention: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states,                  # (BS, F, C)
+        encoder_hidden_states=None,     # (BS or broadcastable, S_ctx, D)
+        temporal_bias: Optional[jax.Array] = None,  # (F, S_ctx) additive
+        want_stats: bool = False,
+    ):
+        ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                    param_dtype=self.param_dtype, name=n)
+        residual = hidden_states
+        hidden_states = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype,
+                                    name="ff_in")(ln("norm_in")(hidden_states))
+        hidden_states = hidden_states + residual  # is_res: dims equal by construction
+
+        attn = lambda n: Attention(heads=self.heads, dim_head=self.dim_head,
+                                   dtype=self.dtype, param_dtype=self.param_dtype, name=n)
+        hidden_states = attn("attn1")(ln("norm1")(hidden_states)) + hidden_states
+
+        stats = None
+        if self.cross_attention:
+            out = attn("attn2")(
+                ln("norm2")(hidden_states), encoder_hidden_states,
+                bias=temporal_bias, want_stats=want_stats)
+            if want_stats:
+                out, stats = out
+                self.sow("intermediates", "attn_stats", stats)
+            hidden_states = out + hidden_states
+
+        hidden_states = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype,
+                                    name="ff")(ln("norm3")(hidden_states)) + hidden_states
+        return hidden_states
+
+
+class TransformerSpatioTemporalModel(nn.Module):
+    """GroupNorm -> proj_in -> [spatial block, temporal block, blend]*L ->
+    proj_out + residual (reference transformer_temporal.py:253-356)."""
+
+    heads: int
+    dim_head: int
+    num_layers: int = 1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,       # (B*F, H, W, C)
+        num_frames: int,
+        encoder_hidden_states: Union[jax.Array, Tuple[jax.Array, jax.Array]],
+        use_temporal_attention_bias: bool = False,
+        want_stats: bool = False,
+    ) -> jax.Array:
+        bf, height, width, channels = hidden_states.shape
+        batch_size = bf // num_frames
+        inner_dim = self.heads * self.dim_head
+
+        if isinstance(encoder_hidden_states, tuple):
+            spatial_ctx, temporal_ctx = encoder_hidden_states
+        else:
+            spatial_ctx = temporal_ctx = encoder_hidden_states
+        # contexts arrive per-batch: (B, S, D).  Spatial attention runs per
+        # frame -> broadcast to (B*F, S, D); temporal attention runs per
+        # pixel with the *first frame's* context (reference
+        # transformer_temporal.py:279-297) -> (B, 1, S, D) broadcast over
+        # pixels, materialized lazily by jnp broadcasting inside attention.
+        s_ctx = jnp.repeat(spatial_ctx, num_frames, axis=0)
+
+        residual = hidden_states
+        hidden_states = nn.GroupNorm(num_groups=gn_groups(channels), epsilon=1e-6,
+                                     dtype=self.dtype,
+                                     param_dtype=self.param_dtype, name="norm")(hidden_states)
+        hidden_states = hidden_states.reshape(bf, height * width, channels)
+        hidden_states = nn.Dense(inner_dim, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="proj_in")(hidden_states)
+
+        # frame-position embedding (transformer_temporal.py:309-316)
+        frame_ids = jnp.tile(jnp.arange(num_frames), batch_size)
+        t_emb = get_timestep_embedding(frame_ids, inner_dim).astype(self.dtype)
+        emb = TimestepEmbedding(inner_dim * 4, out_dim=inner_dim, dtype=self.dtype,
+                                param_dtype=self.param_dtype, name="time_pos_embed")(t_emb)
+        emb = emb[:, None, :]  # (B*F, 1, C)
+
+        bias = None
+        if use_temporal_attention_bias:
+            bias = temporal_bias_mask(num_frames, temporal_ctx.shape[-2])
+
+        # one blender shared across layers (reference: a single self.time_mixer
+        # used inside the block loop, transformer_temporal.py:246,349)
+        mixer = AlphaBlender(alpha=0.5, param_dtype=self.param_dtype, name="time_mixer")
+
+        for layer in range(self.num_layers):
+            hidden_states = BasicTransformerBlock(
+                heads=self.heads, dim_head=self.dim_head,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"transformer_blocks_{layer}",
+            )(hidden_states, s_ctx)
+
+            # spatial -> temporal layout: (B*F, S, C) -> (B*S, F, C)
+            mix = hidden_states + emb
+            mix = mix.reshape(batch_size, num_frames, height * width, inner_dim)
+            mix = jnp.swapaxes(mix, 1, 2).reshape(batch_size * height * width,
+                                                  num_frames, inner_dim)
+            # per-pixel temporal context: (B, S_ctx, D) -> (B, 1, S_ctx, D)
+            # broadcast over pixels without materializing
+            t_ctx = jnp.broadcast_to(
+                temporal_ctx[:, None],
+                (batch_size, height * width) + temporal_ctx.shape[1:],
+            ).reshape(batch_size * height * width, *temporal_ctx.shape[1:])
+            mix = TemporalBasicTransformerBlock(
+                heads=self.heads, dim_head=self.dim_head,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"temporal_transformer_blocks_{layer}",
+            )(mix, t_ctx, temporal_bias=bias, want_stats=want_stats)
+            mix = mix.reshape(batch_size, height * width, num_frames, inner_dim)
+            mix = jnp.swapaxes(mix, 1, 2).reshape(bf, height * width, inner_dim)
+
+            hidden_states = mixer(hidden_states, mix)
+
+        hidden_states = nn.Dense(channels, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="proj_out")(hidden_states)
+        hidden_states = hidden_states.reshape(bf, height, width, channels)
+        return hidden_states + residual

@@ -1,0 +1,108 @@
+"""Attention ops — XLA path with functional aux statistics.
+
+Replaces two reference mechanisms at once:
+
+1. ``AttnProcessor2_0`` / SDPA (src/models/attention_processor.py:1178) —
+   the plain fused attention path.
+2. ``register_attention_control`` (src/train_decouples.py:375-516 and
+   src/test.py:112-480), which monkey-patches temporal ``Attention.forward``
+   to (a) add a linspace temporal bias mask over the 2 conditioning-token
+   keys and (b) record per-frame means of the *pre-softmax* similarity to
+   the first-image vs end-image key halves.  In JAX both are explicit,
+   functional options of this op: pass ``bias`` and set ``want_stats=True``
+   and per-frame stats flow back through the call graph — no mutation.
+
+Layout: q (..., Sq, H, D), k/v (..., Sk, H, D) — batch dims leading, heads
+folded next to the feature dim so XLA keeps the matmuls MXU-shaped.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class AttnStats(NamedTuple):
+    """Per-query-frame mean pre-softmax similarity to the first-image vs
+    end-image halves of the key sequence.
+
+    Reference: train_decouples.py:466-476 — ``attn_weight`` is the scaled
+    (and bias-shifted, if enabled) logits *before* softmax;
+    ``first_frame_sim = attn_weight[..., :S/2].mean()`` per frame, likewise
+    ``end_frame_sim`` for the second half."""
+
+    first: jax.Array  # (..., Sq)  mean logit vs keys [0, Sk/2)
+    end: jax.Array    # (..., Sq)  mean logit vs keys [Sk/2, Sk)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    want_stats: bool = False,
+):
+    """Multi-head attention.
+
+    Args:
+      q: (..., Sq, H, D)
+      k, v: (..., Sk, H, D)
+      bias: optional additive bias broadcastable to (..., H, Sq, Sk), added
+        to the scaled logits before softmax (reference
+        train_decouples.py:455-460).
+      scale: defaults to 1/sqrt(D)
+      want_stats: also return AttnStats (pre-softmax logits averaged over
+        heads and key halves, reduced over leading batch dims).
+
+    Returns:
+      out (..., Sq, H, D) [, AttnStats]
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = d ** -0.5
+
+    qf = jnp.swapaxes(q, -2, -3)  # (..., H, Sq, D)
+    kf = jnp.swapaxes(k, -2, -3)
+    vf = jnp.swapaxes(v, -2, -3)
+
+    logits = jnp.einsum(
+        "...hqd,...hkd->...hqk", qf * scale, kf,
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    out = jnp.einsum(
+        "...hqk,...hkd->...hqd", probs.astype(vf.dtype), vf,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+    out = jnp.swapaxes(out, -2, -3)  # (..., Sq, H, D)
+
+    if not want_stats:
+        return out
+
+    sk = k.shape[-3]
+    half = sk // 2
+    # mean over heads and all leading batch dims -> (Sq,) per-frame scalars,
+    # matching the reference's .mean() over (B, H, Sk-half) at :470-471.
+    reduce_axes = tuple(range(logits.ndim - 2)) + (logits.ndim - 1,)
+    stats = AttnStats(
+        first=logits[..., :half].mean(axis=reduce_axes),
+        end=logits[..., half:].mean(axis=reduce_axes),
+    )
+    return out, stats
+
+
+def temporal_bias_mask(num_frames: int, num_keys: int = 2, dtype=jnp.float32) -> jax.Array:
+    """The reference's additive temporal cross-attention bias
+    (train_decouples.py:440-447): for query frame f with weight
+    w = linspace(0,1,F)[f], keys in the first half (the first-image token)
+    get bias (1-w) and keys in the second half (the end-image token) get w.
+    Returns (F, num_keys), broadcastable to (..., H, Sq=F, Sk=num_keys)."""
+    w = jnp.linspace(0.0, 1.0, num_frames, dtype=dtype)
+    key_second = (jnp.arange(num_keys) >= num_keys // 2).astype(dtype)
+    return (1.0 - w)[:, None] * (1.0 - key_second)[None, :] + w[:, None] * key_second[None, :]
