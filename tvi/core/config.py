@@ -293,6 +293,9 @@ class TrainConfig(_ConfigBase):
     # which parameters train: 'temporal' (reference: temporal transformer
     # blocks only, src/train.py:401-410), 'all', or 'controlnet'
     trainable: str = "temporal"
+    # train.py conditions middles on the learnable mask token (:546-557);
+    # train_decouples.py uses zeros instead (:881)
+    mask_token_conditioning: bool = True
     projector_input_dim: int = 2048
     # decoupled-trainer extras (train_decouples.py:1565-1573)
     use_attention_mask: bool = False

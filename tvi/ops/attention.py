@@ -89,11 +89,15 @@ def dot_product_attention(
     half = sk // 2
     # mean over heads and all leading batch dims -> (Sq,) per-frame scalars,
     # matching the reference's .mean() over (B, H, Sk-half) at :470-471.
+    # Guard the 1-token-context case: the reference slices [..., :0].mean()
+    # which is NaN (latent bug when the temporal context is the single
+    # projector token, train_decouples.py:908-911); we emit zeros for the
+    # empty half instead so downstream losses stay finite.
     reduce_axes = tuple(range(logits.ndim - 2)) + (logits.ndim - 1,)
-    stats = AttnStats(
-        first=logits[..., :half].mean(axis=reduce_axes),
-        end=logits[..., half:].mean(axis=reduce_axes),
-    )
+    sq = q.shape[-3]
+    first = (logits[..., :half].mean(axis=reduce_axes) if half > 0
+             else jnp.zeros((sq,), logits.dtype))
+    stats = AttnStats(first=first, end=logits[..., half:].mean(axis=reduce_axes))
     return out, stats
 
 

@@ -1,0 +1,221 @@
+"""Two-frame interpolation trainer CLI — the TPU-native src/train.py (and,
+with ``--decoupled``, src/train_decouples.py).
+
+Usage (mirrors src/train.sh flag names where they exist):
+
+    python -m tvi.train.train_interp \
+        --data_root TrainData --output_dir outputs/run1 \
+        --width 512 --height 320 --sample_n_frames 14 \
+        --per_gpu_batch_size 2 --max_train_steps 50000 \
+        --checkpointing_steps 50 --validation_steps 1000
+
+Distribution replaces `accelerate launch --config_file acc_N.yaml` with a
+single process driving a jax data mesh (all local devices; multi-host via
+``jax.distributed.initialize`` when JAX_COORDINATOR is set).  ``--tiny``
+swaps in the thin test configs for smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvi.core.config import (
+    TINY_CLIP,
+    TINY_UNET,
+    TINY_VAE,
+    CLIPVisionConfig,
+    PipelineConfig,
+    TrainConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from tvi.data.frame_dataset import FrameInterpolationDataset
+from tvi.io.orbax_ckpt import CheckpointManager
+from tvi.models.clip_vision import CLIPVisionModelWithProjection
+from tvi.models.projector import FeatureProjector, MotionEncoder
+from tvi.models.unet_st import UNetSpatioTemporalConditionModel
+from tvi.models.vae import AutoencoderKLTemporalDecoder
+from tvi.parallel.mesh import MeshSpec, create_mesh, shard_batch
+from tvi.train.params import count_params, partition_params, temporal_predicate
+from tvi.train.trainer import create_train_state, make_interp_train_step
+from tvi.utils.logging import MetricLogger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", type=str, default=None,
+                   help="TrainData root (frame_XX folders); synthetic data when omitted")
+    p.add_argument("--output_dir", type=str, default="outputs/train_interp")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=320)
+    p.add_argument("--sample_n_frames", type=int, default=14)
+    p.add_argument("--per_gpu_batch_size", type=int, default=2,
+                   help="per-device batch size (reference flag name)")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--max_train_steps", type=int, default=50_000)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--lr_warmup_steps", type=int, default=0)
+    p.add_argument("--scale_lr", action="store_true")
+    p.add_argument("--checkpointing_steps", type=int, default=50)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--validation_steps", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=23123134)
+    p.add_argument("--mixed_precision", choices=["bf16", "fp32"], default="bf16")
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--projector_input_dim", type=int, default=2048)
+    p.add_argument("--report_to", type=str, default="jsonl")
+    # decoupled-trainer flags (train_decouples.py:1565-1573)
+    p.add_argument("--decoupled", action="store_true",
+                   help="train_decouples.py variant: motion encoder, zeros "
+                        "instead of mask token")
+    p.add_argument("--use_attentionmask", action="store_true")
+    p.add_argument("--use_monotonicity_loss", action="store_true")
+    p.add_argument("--frame_matching", action="store_true")
+    p.add_argument("--lambda_attn", type=float, default=1.0)
+    p.add_argument("--tiny", action="store_true", help="thin test configs")
+    p.add_argument("--synthetic_data", action="store_true",
+                   help="random batches (smoke/benchmark runs)")
+    return p.parse_args(argv)
+
+
+def synthetic_batches(rng: np.random.RandomState, b, f, h, w, with_motion=False):
+    while True:
+        video = rng.rand(b, f, h, w, 3).astype(np.float32) * 2 - 1
+        batch = {"video": video, "first": video[:, 0], "end": video[:, -1]}
+        if with_motion:
+            gray = video.mean(-1, keepdims=True)
+            batch["motion_first"] = np.abs(gray[:, 1] - gray[:, 0])
+            batch["motion_end"] = np.abs(gray[:, -1] - gray[:, -2])
+        yield batch
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "args.json"), "w") as fh:
+        json.dump(vars(args), fh, indent=2)  # parity: train.py:176-179
+
+    dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
+    n_dev = len(jax.devices())
+    mesh = create_mesh(MeshSpec(data=n_dev))
+    global_batch = args.per_gpu_batch_size * n_dev
+
+    lr = args.learning_rate * (global_batch * args.gradient_accumulation_steps
+                               if args.scale_lr else 1)
+    cfg = TrainConfig(
+        output_dir=args.output_dir, seed=args.seed, width=args.width,
+        height=args.height, sample_n_frames=args.sample_n_frames,
+        per_device_batch_size=args.per_gpu_batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        max_train_steps=args.max_train_steps, learning_rate=lr,
+        lr_warmup_steps=args.lr_warmup_steps,
+        checkpointing_steps=args.checkpointing_steps,
+        checkpoints_total_limit=args.checkpoints_total_limit,
+        validation_steps=args.validation_steps, use_ema=args.use_ema,
+        use_attention_mask=args.use_attentionmask,
+        use_monotonicity_loss=args.use_monotonicity_loss,
+        frame_matching=args.frame_matching, lambda_attn=args.lambda_attn,
+        mask_token_conditioning=not args.decoupled,
+        projector_input_dim=args.projector_input_dim,
+        mixed_precision=args.mixed_precision,
+    )
+
+    if args.tiny:
+        unet_cfg, vae_cfg = TINY_UNET, TINY_VAE
+        clip_cfg = TINY_CLIP.replace(projection_dim=TINY_UNET.cross_attention_dim)
+        proj_in = 2 * TINY_UNET.cross_attention_dim
+    else:
+        unet_cfg, vae_cfg, clip_cfg = UNetConfig(), VAEConfig(), CLIPVisionConfig()
+        proj_in = args.projector_input_dim
+
+    unet = UNetSpatioTemporalConditionModel(unet_cfg, dtype=dtype)
+    vae = AutoencoderKLTemporalDecoder(vae_cfg, dtype=dtype)
+    clip = CLIPVisionModelWithProjection(clip_cfg, dtype=dtype)
+    projector = FeatureProjector(output_dim=unet_cfg.cross_attention_dim, dtype=dtype)
+    motion_encoder = MotionEncoder(output_dim=unet_cfg.cross_attention_dim,
+                                   dtype=dtype) if args.decoupled else None
+
+    rng = jax.random.PRNGKey(args.seed)
+    r_unet, r_vae, r_clip, r_proj, r_me, r_mask, r_train = jax.random.split(rng, 7)
+    print(f"[train_interp] initializing params (devices={n_dev}, dtype={dtype.__name__})",
+          flush=True)
+    unet_params = unet.init_params(r_unet)
+    vae_params = vae.init(r_vae, jnp.zeros((1, 32, 32, 3), dtype), 1)
+    clip_params = clip.init(
+        r_clip, jnp.zeros((1, clip_cfg.image_size, clip_cfg.image_size, 3), dtype))
+    proj_params = projector.init(r_proj, jnp.zeros((1, 1, proj_in), dtype))
+    mask_token = jax.random.normal(r_mask, (4,), jnp.float32)
+
+    unet_train, unet_frozen = partition_params(unet_params, temporal_predicate)
+    trainable = {"unet": unet_train, "projector": proj_params}
+    if motion_encoder is not None:
+        trainable["motion_encoder"] = motion_encoder.init(
+            r_me, jnp.zeros((1, 64, 64, 1), dtype))
+    frozen = {"unet": unet_frozen, "vae": vae_params, "clip": clip_params,
+              "mask_token": mask_token}
+    print(f"[train_interp] trainable params: {count_params(trainable):,} / "
+          f"total {count_params(trainable) + count_params(frozen):,}", flush=True)
+
+    step_fn, optimizer = make_interp_train_step(
+        unet=unet, vae=vae, clip=clip, projector=projector, cfg=cfg,
+        motion_encoder=motion_encoder, mesh=mesh, dtype=dtype)
+    state = create_train_state(trainable, optimizer, use_ema=args.use_ema)
+
+    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
+                             total_limit=args.checkpoints_total_limit,
+                             save_interval_steps=args.checkpointing_steps)
+    start_step = 0
+    if args.resume_from_checkpoint:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+        got_step, restored = CheckpointManager(
+            args.resume_from_checkpoint).restore_latest(abstract)
+        if got_step is not None:
+            state, start_step = restored, got_step
+            print(f"[train_interp] resumed from step {start_step}", flush=True)
+
+    if args.data_root and not args.synthetic_data:
+        ds = FrameInterpolationDataset(
+            args.data_root, width=args.width, height=args.height,
+            sample_n_frames=args.sample_n_frames,
+            with_motion_maps=args.decoupled, seed=args.seed)
+        batches = ds.batches(global_batch)
+    else:
+        print("[train_interp] using synthetic data", flush=True)
+        batches = synthetic_batches(
+            np.random.RandomState(args.seed), global_batch,
+            args.sample_n_frames, args.height, args.width,
+            with_motion=args.decoupled)
+
+    logger = MetricLogger(args.output_dir, project="flood_video_project",
+                          use_wandb=args.report_to == "wandb")
+    import time as _time
+    t_last = _time.time()
+    for step_idx in range(start_step, args.max_train_steps):
+        batch = shard_batch(mesh, next(batches))
+        r_step = jax.random.fold_in(r_train, step_idx)
+        state, metrics = step_fn(state, frozen, batch, r_step)
+        if step_idx % 10 == 0 or step_idx == args.max_train_steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            now = _time.time()
+            m["steps_per_sec"] = (10 if step_idx else 1) / max(now - t_last, 1e-9)
+            t_last = now
+            logger.log(step_idx, m)
+            print(f"step {step_idx}: " +
+                  " ".join(f"{k}={v:.5f}" for k, v in m.items()), flush=True)
+        ckpt.save(step_idx + 1, state)
+    ckpt.wait()
+    logger.close()
+    print("[train_interp] done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
