@@ -1,0 +1,122 @@
+"""Benchmark: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): frames/sec/chip for the 25-frame 576x1024 SVD
+interpolation pipeline (25 denoise steps, CFG pair batched), measured on one
+TPU chip with random-init weights (weights don't affect throughput).
+
+The measured quantity is the full per-denoise-step latency (UNet fwd on the
+CFG pair + scheduler step, jitted as one program) plus the chunked VAE
+decode, combined as:
+
+    frames_per_sec = num_frames / (steps * step_latency + decode_time)
+
+``vs_baseline`` divides by an A100 diffusers SVD-xt baseline of 0.625
+frames/sec (~40 s for 25 frames @ 576x1024, 25 steps — the reference
+publishes no numbers, SURVEY §6; this constant is the driver-set comparison
+point and is reported explicitly in the JSON for auditability).
+
+Env overrides: TVI_BENCH_HEIGHT/WIDTH/FRAMES/STEPS, TVI_BENCH_REPEATS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_FPS = 0.625
+
+
+def _timed(fn, *args, repeats=3):
+    out = fn(*args)            # compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / repeats
+
+
+def main():
+    height = int(os.environ.get("TVI_BENCH_HEIGHT", 576))
+    width = int(os.environ.get("TVI_BENCH_WIDTH", 1024))
+    frames = int(os.environ.get("TVI_BENCH_FRAMES", 25))
+    steps = int(os.environ.get("TVI_BENCH_STEPS", 25))
+    repeats = int(os.environ.get("TVI_BENCH_REPEATS", 3))
+    decode_chunk = int(os.environ.get("TVI_BENCH_DECODE_CHUNK", 5))
+
+    from tvi.core.config import UNetConfig, VAEConfig
+    from tvi.diffusion.euler import EulerDiscreteScheduler
+    from tvi.models.unet_st import UNetSpatioTemporalConditionModel
+    from tvi.models.vae import AutoencoderKLTemporalDecoder
+
+    dev = jax.devices()[0]
+    cfg = UNetConfig()
+    vae_cfg = VAEConfig()
+    unet = UNetSpatioTemporalConditionModel(cfg, dtype=jnp.bfloat16,
+                                            param_dtype=jnp.bfloat16)
+    vae = AutoencoderKLTemporalDecoder(vae_cfg, dtype=jnp.bfloat16,
+                                       param_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    params = unet.init_params(rng)
+    vae_params = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3), jnp.bfloat16), 1)
+
+    h, w = height // 8, width // 8
+    b_cfg = 2  # CFG pair
+    sched = EulerDiscreteScheduler()
+    sigmas, timesteps = sched.set_timesteps(steps)
+
+    latents = jax.random.normal(jax.random.PRNGKey(2), (1, frames, h, w, 4),
+                                jnp.bfloat16)
+    image_latents = jnp.zeros((b_cfg, frames, h, w, 5), jnp.bfloat16)
+    ctx = (jnp.zeros((b_cfg, 2, cfg.cross_attention_dim), jnp.bfloat16),
+           jnp.zeros((b_cfg, 1, cfg.cross_attention_dim), jnp.bfloat16))
+    ids = jnp.zeros((b_cfg, 3), jnp.float32)
+    guidance = jnp.linspace(1.0, 3.0, frames)[None, :, None, None, None]
+
+    @jax.jit
+    def denoise_step(params, latents, sigma, sigma_next, t):
+        x = jnp.concatenate([latents] * 2)
+        x = sched.scale_model_input(x, sigma).astype(jnp.bfloat16)
+        x_in = jnp.concatenate([x, image_latents], axis=-1)
+        noise_pred, _ = unet.apply(params, x_in, t, ctx, ids)
+        uncond, cond = jnp.split(noise_pred.astype(jnp.float32), 2, axis=0)
+        noise_pred = uncond + guidance * (cond - uncond)
+        return sched.step(noise_pred, latents.astype(jnp.float32),
+                          sigma, sigma_next).astype(latents.dtype)
+
+    step_latency = _timed(denoise_step, params, latents,
+                          sigmas[0], sigmas[1], timesteps[0], repeats=repeats)
+
+    @jax.jit
+    def decode(vae_params, z):
+        zc = z.reshape(frames // decode_chunk, decode_chunk, h, w, 4) \
+            if frames % decode_chunk == 0 else z.reshape(1, frames, h, w, 4)
+        out = jax.lax.map(
+            lambda c: vae.apply(vae_params, c / vae_cfg.scaling_factor,
+                                c.shape[0], method=vae.decode), zc)
+        return out
+
+    decode_time = _timed(decode, vae_params,
+                         latents[0].astype(jnp.bfloat16), repeats=1)
+
+    total = steps * step_latency + decode_time
+    fps = frames / total
+    result = {
+        "metric": f"frames/sec/chip ({frames}f {width}x{height}, {steps} steps)",
+        "value": round(fps, 4),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
+        "step_latency_s": round(step_latency, 4),
+        "decode_s": round(decode_time, 4),
+        "device": str(dev),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,13 @@ class InterpolationPipeline:
     controlnet_params: Any = None
     dtype: Any = jnp.bfloat16
 
+    def controlnet_cond_size(self, height: int, width: int):
+        """Resolution the ControlNet conditioning video must have: 8x the
+        latent grid (its embedding downsamples 8x, controlnet_svd.py:81-91).
+        Equals (height, width) for the real 8x VAE."""
+        vsf = self.vae.config.downscale_factor
+        return (height // vsf) * 8, (width // vsf) * 8
+
     # ----------------------------------------------------------------- CLIP
     def encode_image(self, image01: jax.Array) -> jax.Array:
         """[0,1] NHWC -> (B, 1, 1024) image embeds.  Reproduces the
@@ -86,6 +93,7 @@ class InterpolationPipeline:
         controlnet_cond: Optional[np.ndarray] = None,  # (B, F, H, W, 3) heatmaps in [0,1]
         do_motion_prompt: bool = False,
         use_temporal_attention_bias: bool = False,
+        collect_attn_stats: bool = False,
         output_type: str = "np",
     ):
         cfg = config
@@ -156,22 +164,73 @@ class InterpolationPipeline:
             if do_cfg:
                 cn_cond = jnp.concatenate([cn_cond, cn_cond])
 
-        latents = self._denoise(
-            self.unet_params, cn_params, latents, image_latents, ctx,
-            added_time_ids, sigmas, timesteps, guidance, cn_cond,
-            do_cfg, with_control, cfg.num_inference_steps,
-            float(cfg.controlnet_cond_scale),
-            cfg.controlnet_step_range, use_temporal_attention_bias,
-        )
+        if collect_attn_stats:
+            latents, attn_records = self._denoise_with_stats(
+                latents, image_latents, ctx, added_time_ids, sigmas,
+                timesteps, guidance, cn_cond, do_cfg, with_control,
+                cfg.num_inference_steps, float(cfg.controlnet_cond_scale),
+                cfg.controlnet_step_range, use_temporal_attention_bias)
+        else:
+            attn_records = None
+            latents = self._denoise(
+                self.unet_params, cn_params, latents, image_latents, ctx,
+                added_time_ids, sigmas, timesteps, guidance, cn_cond,
+                do_cfg, with_control, cfg.num_inference_steps,
+                float(cfg.controlnet_cond_scale),
+                cfg.controlnet_step_range, use_temporal_attention_bias,
+            )
 
         if output_type == "latent":
-            return latents
+            return (latents, attn_records) if collect_attn_stats else latents
         frames = self.decode_latents(latents, cfg.num_frames, cfg.decode_chunk_size)
         if output_type == "np":
-            return postprocess_frames(np.asarray(frames, np.float32).reshape(
+            frames = postprocess_frames(np.asarray(frames, np.float32).reshape(
                 (-1,) + frames.shape[2:])).reshape(
                     (b, cfg.num_frames) + frames.shape[2:])
-        return frames
+        return (frames, attn_records) if collect_attn_stats else frames
+
+    # -------------------------------------------- analysis loop (unjitted)
+    def _denoise_with_stats(self, latents, image_latents, ctx, added_time_ids,
+                            sigmas, timesteps, guidance, cn_cond,
+                            do_cfg: bool, with_control: bool, num_steps: int,
+                            cond_scale: float, step_range, use_bias: bool):
+        """Python-stepped denoise that collects per-layer AttnStats each
+        step — the functional replacement for the reference's CSV-dumping
+        attention monkey-patch (src/test.py:112-480).  Slower than the
+        fused loop by design; use only for analysis runs."""
+        from flax import traverse_util
+
+        guidance_b = guidance[None, :, None, None, None].astype(jnp.float32)
+        lo = int(step_range[0] * num_steps)
+        hi = int(step_range[1] * num_steps)
+        records = []
+        for i in range(num_steps):
+            sigma, sigma_next, t = sigmas[i], sigmas[i + 1], timesteps[i]
+            x = jnp.concatenate([latents] * 2) if do_cfg else latents
+            x = self.scheduler.scale_model_input(x, sigma).astype(self.dtype)
+            x_in = jnp.concatenate([x, image_latents.astype(self.dtype)], axis=-1)
+            down_res = mid_res = None
+            if with_control:
+                scale_i = cond_scale if lo <= i < hi else 0.0
+                down_res, mid_res = self.controlnet.apply(
+                    self.controlnet_params, x_in, t, ctx, added_time_ids,
+                    cn_cond, scale_i)
+            (noise_pred, _), state = self.unet.apply(
+                self.unet_params, x_in, t, ctx, added_time_ids,
+                down_block_residuals=down_res, mid_block_residual=mid_res,
+                use_temporal_attention_bias=use_bias, want_stats=True,
+                mutable=["intermediates"])
+            flat = traverse_util.flatten_dict(state["intermediates"], sep="/")
+            records.append({
+                k.replace("/attn_stats", ""): tuple(np.asarray(s) for s in v[0])
+                for k, v in flat.items()})
+            noise_pred = noise_pred.astype(jnp.float32)
+            if do_cfg:
+                uncond, cond = jnp.split(noise_pred, 2, axis=0)
+                noise_pred = uncond + guidance_b * (cond - uncond)
+            latents = self.scheduler.step(noise_pred, latents.astype(jnp.float32),
+                                          sigma, sigma_next).astype(latents.dtype)
+        return latents, records
 
     # --------------------------------------------------------- denoise loop
     def _denoise(self, unet_params, cn_params, latents, image_latents, ctx,
