@@ -1,0 +1,71 @@
+"""Pallas kernel parity tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvi.ops.attention import dot_product_attention, set_flash_attention
+from tvi.ops.pallas_attention import flash_attention_eligible, flash_self_attention
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("sq,sk", [(256, 256), (512, 512), (512, 256)])
+    def test_matches_xla_reference(self, rng, sq, sk):
+        d = 64
+        bh = 3
+        k1, k2, k3 = jax.random.split(rng, 3)
+        q = jax.random.normal(k1, (bh, sq, d), jnp.float32)
+        k = jax.random.normal(k2, (bh, sk, d), jnp.float32)
+        v = jax.random.normal(k3, (bh, sk, d), jnp.float32)
+        scale = d ** -0.5
+        out = flash_self_attention(q, k, v, scale, block_q=256, interpret=True)
+        logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+        expect = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(logits, -1), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_bf16_inputs(self, rng):
+        d, sq = 64, 256
+        q = jax.random.normal(rng, (2, sq, d)).astype(jnp.bfloat16)
+        out = flash_self_attention(q, q, q, d ** -0.5, interpret=True)
+        assert out.dtype == jnp.bfloat16
+        assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+    def test_eligibility_rules(self):
+        # bias / stats / small or ragged seqs fall back
+        assert not flash_attention_eligible(256, 256, 64, True, False)
+        assert not flash_attention_eligible(256, 256, 64, False, True)
+        assert not flash_attention_eligible(100, 100, 64, False, False)
+        assert not flash_attention_eligible(40, 40, 64, False, False)
+        # headline geometry is eligible
+        assert flash_attention_eligible(9216, 9216, 64, False, False)
+        # absurd K/V that exceeds VMEM is not
+        assert not flash_attention_eligible(65536, 65536, 64, False, False)
+
+    def test_dispatch_through_dot_product_attention(self, rng):
+        """Force the flash path in interpret mode and compare with the XLA
+        path through the public op."""
+        d, s, h = 64, 256, 2
+        q = jax.random.normal(rng, (2, s, h, d))
+        import tvi.ops.pallas_attention as pa
+
+        orig = pa.flash_self_attention
+        calls = []
+
+        def spy(q_, k_, v_, scale, **kw):
+            calls.append(q_.shape)
+            return orig(q_, k_, v_, scale, interpret=True)
+
+        pa.flash_self_attention = spy
+        set_flash_attention(True)
+        try:
+            out_flash = dot_product_attention(q, q, q)
+        finally:
+            set_flash_attention(False)
+            pa.flash_self_attention = orig
+        assert calls, "flash path was not taken"
+        assert calls[0] == (2 * h, s, d)
+        out_ref = dot_product_attention(q, q, q)
+        np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref),
+                                   atol=2e-5, rtol=2e-5)

@@ -23,6 +23,21 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+# Pallas flash path for long self-attention sequences.  Toggled off for the
+# CPU test suite (interpret mode is exact but slow); auto-enabled on TPU.
+_USE_FLASH = None  # None: decide from backend; True/False: forced
+
+
+def set_flash_attention(enabled: Optional[bool]):
+    global _USE_FLASH
+    _USE_FLASH = enabled
+
+
+def _flash_enabled() -> bool:
+    if _USE_FLASH is not None:
+        return _USE_FLASH
+    return jax.default_backend() not in ("cpu",)
+
 
 class AttnStats(NamedTuple):
     """Per-query-frame mean pre-softmax similarity to the first-image vs
@@ -63,6 +78,24 @@ def dot_product_attention(
     d = q.shape[-1]
     if scale is None:
         scale = d ** -0.5
+
+    if _flash_enabled():
+        from tvi.ops.pallas_attention import (
+            flash_attention_eligible,
+            flash_self_attention,
+        )
+
+        sq, sk = q.shape[-3], k.shape[-3]
+        if flash_attention_eligible(sq, sk, d, bias is not None, want_stats):
+            h = q.shape[-2]
+            batch = q.shape[:-3]
+            def to_bh(x, s):
+                x = jnp.swapaxes(x, -2, -3)          # (..., H, S, D)
+                return x.reshape((-1, s, d))
+            out = flash_self_attention(to_bh(q, sq), to_bh(k, sk),
+                                       to_bh(v, sk), float(scale))
+            out = out.reshape(batch + (h, sq, d))
+            return jnp.swapaxes(out, -2, -3)
 
     qf = jnp.swapaxes(q, -2, -3)  # (..., H, Sq, D)
     kf = jnp.swapaxes(k, -2, -3)

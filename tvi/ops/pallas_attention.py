@@ -1,0 +1,97 @@
+"""Pallas TPU flash attention for the UNet's spatial self-attention.
+
+Why: at the headline geometry (576x1024 -> 72x128 = 9216 latent tokens per
+frame) a naive attention materializes (B*F, H, 9216, 9216) logits — tens of
+GB; XLA will not fuse that away.  This kernel streams K/V through VMEM and
+never materializes more than a (BLOCK_Q, Sk) tile of logits per program.
+
+Design (per /opt/skills/guides/pallas_guide.md):
+  - layout (B*H, S, D): grid = (B*H, S / BLOCK_Q); each program owns one
+    query block and the full K/V of its batch-head (Sk*D*2 bf16 ~= 2.4 MB at
+    Sk=9216, D=64 — comfortably inside the ~16 MB VMEM budget, so no online
+    softmax pass is needed; the fp32 logits tile is BLOCK_Q x Sk ~= 4.7 MB).
+  - QK^T and PV ride the MXU with fp32 accumulation
+    (preferred_element_type); softmax runs on the VPU in fp32.
+  - K/V BlockSpecs are constant in the query-block grid index, so Pallas
+    keeps them resident across sequential programs of the same batch-head.
+
+Used automatically by tvi.ops.attention.dot_product_attention for long
+self-attention sequences; `interpret=True` path keeps CPU tests exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 128
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]                       # (BQ, D)
+    k = k_ref[0]                       # (Sk, D)
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # (BQ, Sk)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                         scale: float, block_q: int = BLOCK_Q,
+                         interpret: bool = False) -> jax.Array:
+    """q/k/v: (BH, S, D) with S % block_q == 0.  Returns (BH, Sq, D)."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    grid = (bh, sq // block_q)
+    kernel = functools.partial(_flash_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(32 * 1024 * 1024),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bh * sq * sk * d,
+            bytes_accessed=(bh * sq * d + 2 * bh * sk * d + bh * sq * d) * 2,
+            transcendentals=bh * sq * sk,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def flash_attention_eligible(sq: int, sk: int, d: int,
+                             has_bias: bool, want_stats: bool,
+                             block_q: int = BLOCK_Q) -> bool:
+    """The kernel handles plain softmax attention with a full K/V resident
+    in VMEM; everything else falls back to the XLA einsum path."""
+    if has_bias or want_stats:
+        return False
+    if sq < block_q or sq % block_q != 0:
+        return False
+    # K/V + logits tile must fit VMEM: (2*Sk*D)*2B + block_q*Sk*4B
+    # double-buffered K/V + fp32 logits tile + q/out blocks
+    vmem = 4 * sk * d * 2 + block_q * sk * 4 + block_q * d * 8
+    return vmem < 28 * 1024 * 1024

@@ -83,6 +83,9 @@ def parse_args(argv=None):
     p.add_argument("--tiny", action="store_true", help="thin test configs")
     p.add_argument("--synthetic_data", action="store_true",
                    help="random batches (smoke/benchmark runs)")
+    p.add_argument("--shard_dir", type=str, default=None,
+                   help="packed .tvis shards served by the native C++ loader "
+                        "(tvi/data/shards.py) instead of the Python dataset")
     return p.parse_args(argv)
 
 
@@ -182,7 +185,17 @@ def main(argv=None):
             state, start_step = restored, got_step
             print(f"[train_interp] resumed from step {start_step}", flush=True)
 
-    if args.data_root and not args.synthetic_data:
+    if args.shard_dir:
+        from tvi.data.shards import NativeFrameLoader
+
+        shard_paths = sorted(
+            os.path.join(args.shard_dir, f)
+            for f in os.listdir(args.shard_dir) if f.endswith(".tvis"))
+        loader = NativeFrameLoader(shard_paths, global_batch, seed=args.seed)
+        print(f"[train_interp] native loader: {loader.num_records} records "
+              f"across {len(shard_paths)} shards", flush=True)
+        batches = loader.batches()
+    elif args.data_root and not args.synthetic_data:
         ds = FrameInterpolationDataset(
             args.data_root, width=args.width, height=args.height,
             sample_n_frames=args.sample_n_frames,
