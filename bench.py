@@ -28,17 +28,37 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: headline-size XLA compiles take tens of minutes
+# through the axon remote-compile tunnel; cache them across runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("TVI_JAX_CACHE", "/tmp/tvi_jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 A100_BASELINE_FPS = 0.625
 
 
 def _timed(fn, *args, repeats=3):
+    """Times fn via a scalar readback (block_until_ready alone can lie over
+    the axon tunnel — async dispatch returns before execution finishes)."""
     out = fn(*args)            # compile
     jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(repeats):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / repeats
+
+
+@jax.jit
+def _first_elem(x):
+    return jax.numpy.ravel(x)[0].astype(jax.numpy.float32)
+
+
+def _sync(out):
+    leaves = jax.tree.leaves(out)
+    float(_first_elem(leaves[0]))
 
 
 def main():

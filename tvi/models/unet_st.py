@@ -40,12 +40,6 @@ class UNetSpatioTemporalConditionModel(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
-    remat: bool = False
-
-    def _maybe_remat(self, cls):
-        if self.remat:
-            return nn.remat(cls, static_argnums=(3,) if cls is DownBlockSpatioTemporal else ())
-        return cls
 
     @nn.compact
     def __call__(

@@ -37,6 +37,19 @@ class MeshSpec:
         return data, model
 
 
+def maybe_initialize_distributed():
+    """Multi-host bring-up: call once at trainer start.  No-op unless the
+    standard JAX cluster env (JAX_COORDINATOR_ADDRESS / num processes) is
+    set.  Replaces the reference's accelerate rendezvous
+    (rdzv_backend: static + --main_process_port, src/train.sh:6)."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def create_mesh(spec: MeshSpec = MeshSpec(), devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     devices = list(devices) if devices is not None else jax.devices()
     data, model = spec.resolve(len(devices))

@@ -94,6 +94,10 @@ class InterpolationPipeline:
         do_motion_prompt: bool = False,
         use_temporal_attention_bias: bool = False,
         collect_attn_stats: bool = False,
+        sift_track_update: bool = False,
+        point_tracks: Optional[np.ndarray] = None,       # (F, N, 2) cond-res
+        anchor_points_flag: Optional[np.ndarray] = None,  # (N,) bool
+        track_update_interval: int = 5,
         output_type: str = "np",
     ):
         cfg = config
@@ -164,12 +168,19 @@ class InterpolationPipeline:
             if do_cfg:
                 cn_cond = jnp.concatenate([cn_cond, cn_cond])
 
-        if collect_attn_stats:
+        use_stepped = collect_attn_stats or (sift_track_update and with_control)
+        if use_stepped:
+            track_state = None
+            if sift_track_update and with_control and point_tracks is not None:
+                track_state = {"tracks": np.asarray(point_tracks, np.float32),
+                               "anchor_flags": anchor_points_flag,
+                               "interval": track_update_interval}
             latents, attn_records = self._denoise_with_stats(
                 latents, image_latents, ctx, added_time_ids, sigmas,
                 timesteps, guidance, cn_cond, do_cfg, with_control,
                 cfg.num_inference_steps, float(cfg.controlnet_cond_scale),
-                cfg.controlnet_step_range, use_temporal_attention_bias)
+                cfg.controlnet_step_range, use_temporal_attention_bias,
+                track_state=track_state)
         else:
             attn_records = None
             latents = self._denoise(
@@ -193,11 +204,22 @@ class InterpolationPipeline:
     def _denoise_with_stats(self, latents, image_latents, ctx, added_time_ids,
                             sigmas, timesteps, guidance, cn_cond,
                             do_cfg: bool, with_control: bool, num_steps: int,
-                            cond_scale: float, step_range, use_bias: bool):
+                            cond_scale: float, step_range, use_bias: bool,
+                            track_state: Optional[dict] = None):
         """Python-stepped denoise that collects per-layer AttnStats each
         step — the functional replacement for the reference's CSV-dumping
         attention monkey-patch (src/test.py:112-480).  Slower than the
-        fused loop by design; use only for analysis runs."""
+        fused loop by design; use only for analysis runs.
+
+        ``track_state`` enables ``sift_track_update`` (the missing ControlNet
+        pipeline's flag, surface at src/test.py:605; RECONSTRUCTED semantics):
+        between denoise steps, re-track each control point on the UNet's
+        highest-resolution intermediate features (tvi.control.tracks.
+        point_tracking = reference sift_match.py:203), PCHIP-smooth the
+        updated trajectory, re-render the heatmap video.  Keys:
+        {'tracks': (F, N, 2) at cond resolution, 'anchor_flags': optional
+        (N,) bool — anchored points are never moved, 'interval': int}.
+        """
         from flax import traverse_util
 
         guidance_b = guidance[None, :, None, None, None].astype(jnp.float32)
@@ -215,7 +237,7 @@ class InterpolationPipeline:
                 down_res, mid_res = self.controlnet.apply(
                     self.controlnet_params, x_in, t, ctx, added_time_ids,
                     cn_cond, scale_i)
-            (noise_pred, _), state = self.unet.apply(
+            (noise_pred, feats), state = self.unet.apply(
                 self.unet_params, x_in, t, ctx, added_time_ids,
                 down_block_residuals=down_res, mid_block_residual=mid_res,
                 use_temporal_attention_bias=use_bias, want_stats=True,
@@ -224,6 +246,13 @@ class InterpolationPipeline:
             records.append({
                 k.replace("/attn_stats", ""): tuple(np.asarray(s) for s in v[0])
                 for k, v in flat.items()})
+
+            if (with_control and track_state is not None
+                    and (i + 1) % track_state.get("interval", 5) == 0
+                    and i + 1 < num_steps):
+                cn_cond = self._update_tracks_and_heatmaps(
+                    feats[-1], track_state, cn_cond, do_cfg)
+
             noise_pred = noise_pred.astype(jnp.float32)
             if do_cfg:
                 uncond, cond = jnp.split(noise_pred, 2, axis=0)
@@ -231,6 +260,41 @@ class InterpolationPipeline:
             latents = self.scheduler.step(noise_pred, latents.astype(jnp.float32),
                                           sigma, sigma_next).astype(latents.dtype)
         return latents, records
+
+    def _update_tracks_and_heatmaps(self, feat, track_state: dict,
+                                    cn_cond, do_cfg: bool):
+        """sift_track_update core (reconstructed): re-localize each point on
+        the UNet's final up-block features, smooth, re-render heatmaps."""
+        from tvi.control.heatmap import render_heatmap_video
+        from tvi.control.tracks import interpolate_trajectory, point_tracking
+
+        tracks = track_state["tracks"]                 # (F, N, 2) cond-res xy
+        num_frames, n_pts = tracks.shape[:2]
+        # cond half of the CFG batch, frame-major: (F, h, w, C) -> (F, C, h, w)
+        f = feat[feat.shape[0] // 2:] if do_cfg else feat
+        f = jnp.moveaxis(f, -1, 1).astype(jnp.float32)
+        fh, fw = f.shape[2], f.shape[3]
+        cond_h, cond_w = cn_cond.shape[2], cn_cond.shape[3]
+        to_feat = np.asarray([fw / cond_w, fh / cond_h], np.float32)
+
+        new_tracks = tracks.copy()
+        init_pts = jnp.asarray(tracks[0] * to_feat)
+        for fr in range(1, num_frames):
+            cur = jnp.asarray(tracks[fr] * to_feat)
+            upd = np.asarray(point_tracking(f[0], f[fr], cur, init_pts,
+                                            track_dist=2))
+            new_tracks[fr] = upd / to_feat
+        anchors = track_state.get("anchor_flags")
+        if anchors is not None:
+            new_tracks[:, anchors] = tracks[:, anchors]
+        # PCHIP smooth over frames (the reference imports
+        # interpolate_trajectory into the pipeline for exactly this)
+        new_tracks = interpolate_trajectory(
+            new_tracks[:: max(1, (num_frames - 1) // 3)], num_frames)
+        track_state["tracks"] = new_tracks
+        heat = render_heatmap_video(new_tracks, cond_w, cond_h)[None]
+        heat = jnp.asarray(heat, self.dtype)
+        return jnp.concatenate([heat, heat]) if do_cfg else heat
 
     # --------------------------------------------------------- denoise loop
     def _denoise(self, unet_params, cn_params, latents, image_latents, ctx,

@@ -106,6 +106,9 @@ def main(argv=None):
     with open(os.path.join(args.output_dir, "args.json"), "w") as fh:
         json.dump(vars(args), fh, indent=2)  # parity: train.py:176-179
 
+    from tvi.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
     n_dev = len(jax.devices())
     mesh = create_mesh(MeshSpec(data=n_dev))
@@ -208,22 +211,62 @@ def main(argv=None):
             args.sample_n_frames, args.height, args.width,
             with_motion=args.decoupled)
 
+    def run_validation(step_idx, state, val_batch):
+        """Periodic validation: build the inference pipeline from the live
+        training weights and generate a video from the first batch's
+        endpoint frames (reference src/train.py:710-791, which renders the
+        flood assets to wandb; here GIFs land in output_dir/validation)."""
+        from tvi.diffusion.euler import EulerDiscreteScheduler
+        from tvi.pipelines.interp import InterpolationPipeline
+        from tvi.train.params import merge_params
+        from tvi.utils.images import save_gif
+
+        live = state.ema if (args.use_ema and state.ema is not None) else state.trainable
+        pipe = InterpolationPipeline(
+            unet=unet, unet_params=merge_params(live["unet"], frozen["unet"]),
+            vae=vae, vae_params=frozen["vae"],
+            clip=clip, clip_params=frozen["clip"],
+            mask_token=frozen["mask_token"],
+            scheduler=EulerDiscreteScheduler(),
+            projector=projector, projector_params=live["projector"],
+            dtype=dtype)
+        from tvi.core.config import PipelineConfig
+
+        vcfg = PipelineConfig(height=args.height, width=args.width,
+                              num_frames=args.sample_n_frames,
+                              num_inference_steps=8)
+        first01 = (np.asarray(val_batch["first"][:1]) + 1.0) / 2.0
+        end01 = (np.asarray(val_batch["end"][:1]) + 1.0) / 2.0
+        frames = pipe(first01, end01, jax.random.PRNGKey(0), vcfg,
+                      do_motion_prompt=True)
+        vdir = os.path.join(args.output_dir, "validation")
+        os.makedirs(vdir, exist_ok=True)
+        save_gif(frames[0], os.path.join(vdir, f"step_{step_idx:06d}.gif"))
+        print(f"[train_interp] validation gif at step {step_idx}", flush=True)
+
     logger = MetricLogger(args.output_dir, project="flood_video_project",
                           use_wandb=args.report_to == "wandb")
-    import time as _time
-    t_last = _time.time()
+    from tvi.utils.profiling import StepTimer
+
+    timer = StepTimer()
+    val_batch = None
     for step_idx in range(start_step, args.max_train_steps):
-        batch = shard_batch(mesh, next(batches))
+        host_batch = next(batches)
+        if val_batch is None:
+            val_batch = host_batch
+        batch = shard_batch(mesh, host_batch)
         r_step = jax.random.fold_in(r_train, step_idx)
         state, metrics = step_fn(state, frozen, batch, r_step)
+        sps = timer.tick()
         if step_idx % 10 == 0 or step_idx == args.max_train_steps - 1:
             m = {k: float(v) for k, v in metrics.items()}
-            now = _time.time()
-            m["steps_per_sec"] = (10 if step_idx else 1) / max(now - t_last, 1e-9)
-            t_last = now
+            if sps is not None:
+                m["steps_per_sec"] = sps
             logger.log(step_idx, m)
             print(f"step {step_idx}: " +
                   " ".join(f"{k}={v:.5f}" for k, v in m.items()), flush=True)
+        if args.validation_steps > 0 and (step_idx + 1) % args.validation_steps == 0:
+            run_validation(step_idx + 1, state, val_batch)
         ckpt.save(step_idx + 1, state)
     ckpt.wait()
     logger.close()
