@@ -6,7 +6,35 @@ import numpy as np
 import pytest
 
 from tvi.ops.attention import dot_product_attention, set_flash_attention
-from tvi.ops.pallas_attention import flash_attention_eligible, flash_self_attention
+from tvi.ops.pallas_attention import (
+    flash_attention_eligible,
+    flash_self_attention,
+    flash_self_attention_streamed,
+    flash_streamed_eligible,
+)
+
+
+class TestStreamedFlash:
+    @pytest.mark.parametrize("sq,sk,d", [(256, 1024, 64), (128, 512, 512)])
+    def test_matches_xla_reference(self, rng, sq, sk, d):
+        bh = 2
+        k1, k2, k3 = jax.random.split(rng, 3)
+        q = jax.random.normal(k1, (bh, sq, d), jnp.float32)
+        k = jax.random.normal(k2, (bh, sk, d), jnp.float32)
+        v = jax.random.normal(k3, (bh, sk, d), jnp.float32)
+        scale = d ** -0.5
+        out = flash_self_attention_streamed(q, k, v, scale, block_q=128,
+                                            block_k=512, interpret=True)
+        logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+        expect = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(logits, -1), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   atol=3e-5, rtol=3e-5)
+
+    def test_eligibility(self):
+        # VAE decoder attention: 1 head, d=512, 9216 tokens -> streamed
+        assert not flash_attention_eligible(9216, 9216, 512, False, False)
+        assert flash_streamed_eligible(9216, 9216, 512, False, False)
+        assert not flash_streamed_eligible(100, 9216, 512, False, False)
 
 
 class TestFlashAttention:

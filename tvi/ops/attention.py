@@ -83,17 +83,22 @@ def dot_product_attention(
         from tvi.ops.pallas_attention import (
             flash_attention_eligible,
             flash_self_attention,
+            flash_self_attention_streamed,
+            flash_streamed_eligible,
         )
 
         sq, sk = q.shape[-3], k.shape[-3]
-        if flash_attention_eligible(sq, sk, d, bias is not None, want_stats):
+        resident = flash_attention_eligible(sq, sk, d, bias is not None, want_stats)
+        streamed = (not resident and
+                    flash_streamed_eligible(sq, sk, d, bias is not None, want_stats))
+        if resident or streamed:
             h = q.shape[-2]
             batch = q.shape[:-3]
             def to_bh(x, s):
                 x = jnp.swapaxes(x, -2, -3)          # (..., H, S, D)
                 return x.reshape((-1, s, d))
-            out = flash_self_attention(to_bh(q, sq), to_bh(k, sk),
-                                       to_bh(v, sk), float(scale))
+            kernel = flash_self_attention if resident else flash_self_attention_streamed
+            out = kernel(to_bh(q, sq), to_bh(k, sk), to_bh(v, sk), float(scale))
             out = out.reshape(batch + (h, sq, d))
             return jnp.swapaxes(out, -2, -3)
 

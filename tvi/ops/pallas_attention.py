@@ -82,16 +82,105 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     )(q, k, v)
 
 
+def _flash_streamed_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                           *, scale: float):
+    """Online-softmax variant: grid (BH, nq, nk) with nk innermost; running
+    max/denominator/accumulator live in VMEM scratch across the KV sweep
+    (the classic flash-attention recurrence)."""
+    k_idx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # (BQ, BK)
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    p = jnp.exp(logits - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(k_idx == nk - 1)
+    def _emit():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
+def flash_self_attention_streamed(q: jax.Array, k: jax.Array, v: jax.Array,
+                                  scale: float, block_q: int = BLOCK_Q,
+                                  block_k: int = 512,
+                                  interpret: bool = False) -> jax.Array:
+    """K-streaming flash attention for K/V too large to keep resident
+    (e.g. the VAE decoder's 1-head d=512 attention over 9216 tokens, which
+    XLA would otherwise materialize as an (N, 9216, 9216) logits tensor).
+    q/k/v: (BH, S, D), S % block == 0."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    grid = (bh, sq // block_q, sk // block_k)
+    kernel = functools.partial(_flash_streamed_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(32 * 1024 * 1024),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bh * sq * sk * d,
+            bytes_accessed=(bh * sq * d * 2 + 2 * bh * sk * d * (sq // block_q)) * 2,
+            transcendentals=bh * sq * sk,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
 def flash_attention_eligible(sq: int, sk: int, d: int,
                              has_bias: bool, want_stats: bool,
                              block_q: int = BLOCK_Q) -> bool:
-    """The kernel handles plain softmax attention with a full K/V resident
-    in VMEM; everything else falls back to the XLA einsum path."""
+    """Resident-KV kernel eligibility (single softmax pass)."""
     if has_bias or want_stats:
         return False
     if sq < block_q or sq % block_q != 0:
         return False
-    # K/V + logits tile must fit VMEM: (2*Sk*D)*2B + block_q*Sk*4B
     # double-buffered K/V + fp32 logits tile + q/out blocks
     vmem = 4 * sk * d * 2 + block_q * sk * 4 + block_q * d * 8
     return vmem < 28 * 1024 * 1024
+
+
+def flash_streamed_eligible(sq: int, sk: int, d: int,
+                            has_bias: bool, want_stats: bool,
+                            block_q: int = BLOCK_Q, block_k: int = 512) -> bool:
+    """Streaming-KV kernel eligibility: any length, divisible blocks."""
+    if has_bias or want_stats:
+        return False
+    return (sq >= block_q and sq % block_q == 0
+            and sk >= block_k and sk % block_k == 0
+            and d <= 1024)
