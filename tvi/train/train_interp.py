@@ -83,6 +83,9 @@ def parse_args(argv=None):
     p.add_argument("--tiny", action="store_true", help="thin test configs")
     p.add_argument("--synthetic_data", action="store_true",
                    help="random batches (smoke/benchmark runs)")
+    p.add_argument("--topology", type=str, default="auto",
+                   help="mesh preset (tvi/parallel/topologies.py), e.g. "
+                        "v5e-8, acc_0_1_2_3, auto")
     p.add_argument("--shard_dir", type=str, default=None,
                    help="packed .tvis shards served by the native C++ loader "
                         "(tvi/data/shards.py) instead of the Python dataset")
@@ -110,8 +113,10 @@ def main(argv=None):
 
     maybe_initialize_distributed()
     dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
-    n_dev = len(jax.devices())
-    mesh = create_mesh(MeshSpec(data=n_dev))
+    from tvi.parallel.topologies import get_mesh_spec
+
+    mesh = create_mesh(get_mesh_spec(args.topology))
+    n_dev = mesh.devices.size
     global_batch = args.per_gpu_batch_size * n_dev
 
     lr = args.learning_rate * (global_batch * args.gradient_accumulation_steps
