@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from tvi.models.layers import AlphaBlender, gn_groups
+from tvi.utils.ablate import ablated
 
 
 class ResnetBlock2D(nn.Module):
@@ -111,6 +112,8 @@ class SpatioTemporalResBlock(nn.Module):
                           param_dtype=self.param_dtype,
                           name="spatial_res_block")(x, temb)
 
+        if ablated("temporal_resnet"):
+            return h
         c = h.shape[-1]
         h_spatial = h.reshape(batch, num_frames, height, width, c)
         temb_t = temb.reshape(batch, num_frames, -1) if temb is not None else None

@@ -37,6 +37,7 @@ from tvi.models.layers import (
     gn_groups,
 )
 from tvi.ops.attention import temporal_bias_mask
+from tvi.utils.ablate import ablated
 
 
 class BasicTransformerBlock(nn.Module):
@@ -55,10 +56,11 @@ class BasicTransformerBlock(nn.Module):
                                     param_dtype=self.param_dtype, name=n)
         attn = lambda n: Attention(heads=self.heads, dim_head=self.dim_head,
                                    dtype=self.dtype, param_dtype=self.param_dtype, name=n)
-        hidden_states = attn("attn1")(ln("norm1")(hidden_states)) + hidden_states
-        if self.cross_attention:
-            hidden_states = attn("attn2")(
-                ln("norm2")(hidden_states), encoder_hidden_states) + hidden_states
+        if not ablated("spatial_attn"):
+            hidden_states = attn("attn1")(ln("norm1")(hidden_states)) + hidden_states
+            if self.cross_attention:
+                hidden_states = attn("attn2")(
+                    ln("norm2")(hidden_states), encoder_hidden_states) + hidden_states
         hidden_states = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype,
                                     name="ff")(ln("norm3")(hidden_states)) + hidden_states
         return hidden_states
@@ -95,10 +97,11 @@ class TemporalBasicTransformerBlock(nn.Module):
 
         attn = lambda n: Attention(heads=self.heads, dim_head=self.dim_head,
                                    dtype=self.dtype, param_dtype=self.param_dtype, name=n)
-        hidden_states = attn("attn1")(ln("norm1")(hidden_states)) + hidden_states
+        if not ablated("temporal_attn"):
+            hidden_states = attn("attn1")(ln("norm1")(hidden_states)) + hidden_states
 
         stats = None
-        if self.cross_attention:
+        if self.cross_attention and not ablated("temporal_attn"):
             out = attn("attn2")(
                 ln("norm2")(hidden_states), encoder_hidden_states,
                 bias=temporal_bias, want_stats=want_stats)
@@ -131,6 +134,8 @@ class TransformerSpatioTemporalModel(nn.Module):
         use_temporal_attention_bias: bool = False,
         want_stats: bool = False,
     ) -> jax.Array:
+        if ablated("transformers"):
+            return hidden_states
         bf, height, width, channels = hidden_states.shape
         batch_size = bf // num_frames
         inner_dim = self.heads * self.dim_head
