@@ -97,3 +97,25 @@ class TestFlashAttention:
         out_ref = dot_product_attention(q, q, q)
         np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+class TestRaggedFlash:
+    @pytest.mark.parametrize("sq,sk", [(576, 576), (144, 144), (300, 300)])
+    def test_padded_masked_matches_reference(self, rng, sq, sk):
+        d, bh = 64, 2
+        k1, k2, k3 = jax.random.split(rng, 3)
+        q = jax.random.normal(k1, (bh, sq, d), jnp.float32)
+        k = jax.random.normal(k2, (bh, sk, d), jnp.float32)
+        v = jax.random.normal(k3, (bh, sk, d), jnp.float32)
+        scale = d ** -0.5
+        out = flash_self_attention(q, k, v, scale, block_q=128, interpret=True)
+        assert out.shape == (bh, sq, d)
+        logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+        expect = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(logits, -1), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_eligibility_now_covers_ragged(self):
+        assert flash_attention_eligible(576, 576, 64, False, False)
+        assert flash_attention_eligible(144, 144, 64, False, False)
+        assert not flash_attention_eligible(100, 100, 64, False, False)

@@ -31,13 +31,17 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK_Q = 128
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_valid: int):
     q = q_ref[0]                       # (BQ, D)
     k = k_ref[0]                       # (Sk, D)
     v = v_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale      # (BQ, Sk)
+    if kv_valid < k.shape[0]:
+        # ragged sequences arrive zero-padded; mask the padded keys
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_valid, logits, -1e30)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -51,11 +55,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          scale: float, block_q: int = BLOCK_Q,
                          interpret: bool = False) -> jax.Array:
-    """q/k/v: (BH, S, D) with S % block_q == 0.  Returns (BH, Sq, D)."""
-    bh, sq, d = q.shape
+    """q/k/v: (BH, S, D).  Ragged S is zero-padded to block multiples and
+    the padded keys masked inside the kernel.  Returns (BH, Sq, D)."""
+    bh, sq_in, d = q.shape
+    kv_valid = k.shape[1]
+    pad_q = (-sq_in) % block_q
+    pad_k = (-kv_valid) % 128
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
+    sq = q.shape[1]
     sk = k.shape[1]
     grid = (bh, sq // block_q)
-    kernel = functools.partial(_flash_kernel, scale=scale)
+    kernel = functools.partial(_flash_kernel, scale=scale, kv_valid=kv_valid)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -79,7 +93,7 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             transcendentals=bh * sq * sk,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, v)[:, :sq_in]
 
 
 def _flash_streamed_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
@@ -165,13 +179,16 @@ def flash_self_attention_streamed(q: jax.Array, k: jax.Array, v: jax.Array,
 def flash_attention_eligible(sq: int, sk: int, d: int,
                              has_bias: bool, want_stats: bool,
                              block_q: int = BLOCK_Q) -> bool:
-    """Resident-KV kernel eligibility (single softmax pass)."""
+    """Resident-KV kernel eligibility (single softmax pass).  Ragged
+    sequences are handled by padding+key-masking, so only a minimum length
+    and the VMEM budget gate."""
     if has_bias or want_stats:
         return False
-    if sq < block_q or sq % block_q != 0:
+    if sq < block_q or sk < 128:
         return False
+    sk_pad = sk + ((-sk) % 128)
     # double-buffered K/V + fp32 logits tile + q/out blocks
-    vmem = 4 * sk * d * 2 + block_q * sk * 4 + block_q * d * 8
+    vmem = 4 * sk_pad * d * 2 + block_q * sk_pad * 4 + block_q * d * 8
     return vmem < 28 * 1024 * 1024
 
 
