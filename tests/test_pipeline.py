@@ -127,3 +127,84 @@ class TestPipelineE2E:
         img = np.full((1, 32, 32, 3), 0.5, np.float32)
         frames = pipe(img, img, jax.random.PRNGKey(0), cfg)
         assert frames.shape == (1, 4, 32, 32, 3)
+
+
+class TestPipelineVariants:
+    def test_do_motion_prompt_with_projector(self):
+        from tvi.pipelines.factory import build_tiny_pipeline
+
+        pipe = build_tiny_pipeline(jax.random.PRNGKey(0), with_projector=True)
+        img = np.full((1, 32, 32, 3), 0.5, np.float32)
+        a = pipe(img, img, jax.random.PRNGKey(1), TINY_CFG, do_motion_prompt=True)
+        # the non-motion-prompt projector path projects a SINGLE embedding
+        # (pipeline:446-449) and therefore needs its own projector config —
+        # same as the reference's per-script projector_input_dim
+        pipe_single = build_tiny_pipeline(
+            jax.random.PRNGKey(0), with_projector=True,
+            projector_input_dim=32)
+        b = pipe_single(img, img, jax.random.PRNGKey(1), TINY_CFG,
+                        do_motion_prompt=False)
+        assert a.shape == b.shape == (1, 4, 32, 32, 3)
+        assert not np.array_equal(a, b)  # tuple conditioning changes output
+
+    @pytest.mark.parametrize("flag", [
+        "without_front_channel", "without_end_channel",
+        "second_channel_firstframe_condition",
+        "last_channel_lastframe_condition",
+        "channelwise_all_front", "channelwise_all_end",
+    ])
+    def test_every_channel_ablation_runs_and_differs(self, pipe, flag):
+        img0 = np.random.RandomState(5).rand(1, 32, 32, 3).astype(np.float32)
+        img1 = np.random.RandomState(6).rand(1, 32, 32, 3).astype(np.float32)
+        base = pipe(img0, img1, jax.random.PRNGKey(2), TINY_CFG)
+        out = pipe(img0, img1, jax.random.PRNGKey(2), TINY_CFG,
+                   ablations=CondAblations(**{flag: True}))
+        assert out.shape == base.shape
+        assert not np.array_equal(out, base), flag
+
+    @pytest.mark.parametrize("flag", ["without_front_embedding",
+                                      "without_end_embedding"])
+    def test_embedding_ablations_with_motion_prompt(self, flag):
+        # the embedding ablations only bite when both CLIP tokens are in
+        # play, i.e. the tuple (do_motion_prompt) context — in the plain
+        # single-token path the end embedding is unused, faithful to
+        # pipeline:436-449
+        from tvi.pipelines.factory import build_tiny_pipeline
+
+        pipe = build_tiny_pipeline(jax.random.PRNGKey(0), with_projector=True)
+        img0 = np.random.RandomState(5).rand(1, 32, 32, 3).astype(np.float32)
+        img1 = np.random.RandomState(6).rand(1, 32, 32, 3).astype(np.float32)
+        base = pipe(img0, img1, jax.random.PRNGKey(2), TINY_CFG,
+                    do_motion_prompt=True)
+        out = pipe(img0, img1, jax.random.PRNGKey(2), TINY_CFG,
+                   do_motion_prompt=True,
+                   ablations=CondAblations(**{flag: True}))
+        assert not np.array_equal(out, base), flag
+
+    @pytest.mark.parametrize("frames", [3, 6])
+    def test_frame_count_variants(self, pipe, frames):
+        img = np.full((1, 32, 32, 3), 0.25, np.float32)
+        out = pipe(img, img, jax.random.PRNGKey(0),
+                   TINY_CFG.replace(num_frames=frames, decode_chunk_size=None))
+        assert out.shape == (1, frames, 32, 32, 3)
+
+    def test_temporal_attention_bias_changes_output(self, rng):
+        # the linspace bias needs >= 2 DISTINCT temporal context tokens to
+        # have any effect: with 1 key the softmax is bias-invariant, and
+        # with duplicated keys (the projector quirk path, pipeline:446-449)
+        # v1 == v2 makes the output invariant too.  The reference's mask
+        # even asserts num_kv == 2 (train_decouples.py:442).  Exercise the
+        # feature at the UNet level with a plain 2-distinct-token context —
+        # the configuration the decoupled trainer's --use_attentionmask
+        # targets.
+        from tvi.core.config import TINY_UNET
+        from tvi.models.unet_st import UNetSpatioTemporalConditionModel
+
+        m = UNetSpatioTemporalConditionModel(TINY_UNET)
+        sample = jax.random.normal(rng, (1, 4, 16, 16, 9)) * 0.1
+        ctx = jax.random.normal(jax.random.fold_in(rng, 1), (1, 2, 32))
+        v = m.init(rng, sample, jnp.zeros((1,)), ctx, jnp.zeros((1, 3)))
+        a, _ = m.apply(v, sample, jnp.zeros((1,)), ctx, jnp.zeros((1, 3)))
+        b, _ = m.apply(v, sample, jnp.zeros((1,)), ctx, jnp.zeros((1, 3)),
+                       use_temporal_attention_bias=True)
+        assert not np.array_equal(np.asarray(a), np.asarray(b))

@@ -85,7 +85,8 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(32 * 1024 * 1024),
+            vmem_limit_bytes=int(64 * 1024 * 1024),
+            dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * bh * sq * sk * d,

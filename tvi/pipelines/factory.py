@@ -102,8 +102,12 @@ def build_pipeline(
 
 
 def build_tiny_pipeline(rng: jax.Array, **kw) -> InterpolationPipeline:
-    """Test-sized pipeline (thin channels, 2 blocks)."""
+    """Test-sized pipeline (thin channels, 2 blocks).  The projector input
+    dim defaults to the concat (do_motion_prompt) usage, 2x the embedding
+    dim; pass projector_input_dim=cross_attention_dim for the
+    single-embedding projector path (pipeline:446-449)."""
     tiny_clip = TINY_CLIP.replace(projection_dim=TINY_UNET.cross_attention_dim)
+    kw.setdefault("projector_input_dim", 2 * TINY_UNET.cross_attention_dim)
     return build_pipeline(
         rng, unet_config=TINY_UNET, vae_config=TINY_VAE, clip_config=tiny_clip,
-        projector_input_dim=2 * TINY_UNET.cross_attention_dim, **kw)
+        **kw)
