@@ -130,22 +130,39 @@ class TestPipelineE2E:
 
 
 class TestPipelineVariants:
-    def test_do_motion_prompt_with_projector(self):
+    def test_do_motion_prompt_with_projector(self, rng):
+        """The two projector modes need differently-shaped projectors by
+        design (concat 2x-dim vs single-embedding, pipeline:440-449 — the
+        reference likewise configures projector_input_dim per script), so
+        each runs in its own pipeline; the context routing itself is
+        asserted at the assembly level."""
+        from tvi.core.config import TINY_UNET
+        from tvi.pipelines.conditioning import assemble_context
         from tvi.pipelines.factory import build_tiny_pipeline
 
-        pipe = build_tiny_pipeline(jax.random.PRNGKey(0), with_projector=True)
+        # routing: motion prompt -> (spatial, temporal) tuple; plain
+        # projector -> 2-token array of the projected END embedding
+        emb_f = jax.random.normal(rng, (1, 1, 32))
+        emb_e = jax.random.normal(jax.random.fold_in(rng, 1), (1, 1, 32))
+        proj_2x = lambda x: x[..., :32] + x[..., 32:]
+        ctx = assemble_context(emb_f, emb_e, proj_2x, do_motion_prompt=True)
+        assert isinstance(ctx, tuple) and ctx[0].shape == (1, 2, 32)
+        ctx = assemble_context(emb_f, emb_e, lambda x: x * 2.0,
+                               do_motion_prompt=False)
+        assert not isinstance(ctx, tuple) and ctx.shape == (1, 2, 32)
+        np.testing.assert_allclose(ctx[:, 0], ctx[:, 1])  # proj(end) twice
+
+        # both pipelines run end-to-end
         img = np.full((1, 32, 32, 3), 0.5, np.float32)
-        a = pipe(img, img, jax.random.PRNGKey(1), TINY_CFG, do_motion_prompt=True)
-        # the non-motion-prompt projector path projects a SINGLE embedding
-        # (pipeline:446-449) and therefore needs its own projector config —
-        # same as the reference's per-script projector_input_dim
+        pipe_motion = build_tiny_pipeline(jax.random.PRNGKey(0), with_projector=True)
+        a = pipe_motion(img, img, jax.random.PRNGKey(1), TINY_CFG,
+                        do_motion_prompt=True)
         pipe_single = build_tiny_pipeline(
             jax.random.PRNGKey(0), with_projector=True,
-            projector_input_dim=32)
+            projector_input_dim=TINY_UNET.cross_attention_dim)
         b = pipe_single(img, img, jax.random.PRNGKey(1), TINY_CFG,
                         do_motion_prompt=False)
         assert a.shape == b.shape == (1, 4, 32, 32, 3)
-        assert not np.array_equal(a, b)  # tuple conditioning changes output
 
     @pytest.mark.parametrize("flag", [
         "without_front_channel", "without_end_channel",

@@ -87,20 +87,28 @@ def write_attn_csvs(records, out_dir: str):
 
 
 def build_pipe(args):
+    from tvi.core.config import TINY_UNET, UNetConfig
     from tvi.pipelines.factory import build_pipeline, build_tiny_pipeline
 
     rng = jax.random.PRNGKey(args.seed)
     with_cn = not args.without_controlnet
+    with_proj = args.use_projector or args.do_motion_prompt
+    # the concat (do_motion_prompt) path projects [first, end] -> 2x dim;
+    # plain --use_projector projects a single embedding (pipeline:446-449)
+    dim = TINY_UNET.cross_attention_dim if args.tiny else UNetConfig().cross_attention_dim
+    proj_in = 2 * dim if args.do_motion_prompt else dim
     if args.tiny:
         return build_tiny_pipeline(rng, with_controlnet=with_cn,
-                                   with_projector=args.use_projector or args.do_motion_prompt)
+                                   with_projector=with_proj,
+                                   projector_input_dim=proj_in)
     params = None
     if args.model:
         from tvi.io.orbax_ckpt import CheckpointManager
 
         _, params = CheckpointManager(args.model).restore_latest()
     return build_pipeline(rng, with_controlnet=with_cn,
-                          with_projector=args.use_projector or args.do_motion_prompt,
+                          with_projector=with_proj,
+                          projector_input_dim=proj_in,
                           params=params)
 
 

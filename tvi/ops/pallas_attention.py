@@ -8,7 +8,7 @@ never materializes more than a (BLOCK_Q, Sk) tile of logits per program.
 Design (per /opt/skills/guides/pallas_guide.md):
   - layout (B*H, S, D): grid = (B*H, S / BLOCK_Q); each program owns one
     query block and the full K/V of its batch-head (Sk*D*2 bf16 ~= 2.4 MB at
-    Sk=9216, D=64 — comfortably inside the ~16 MB VMEM budget, so no online
+    Sk=9216, D=64 — well inside the 64 MB scoped-VMEM budget, so no online
     softmax pass is needed; the fp32 logits tile is BLOCK_Q x Sk ~= 4.7 MB).
   - QK^T and PV ride the MXU with fp32 accumulation
     (preferred_element_type); softmax runs on the VPU in fp32.
@@ -37,7 +37,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_valid: int):
     v = v_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # (BQ, Sk)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) * scale     # (BQ, Sk)
     if kv_valid < k.shape[0]:
         # ragged sequences arrive zero-padded; mask the padded keys
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -47,7 +48,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_valid: int):
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
@@ -116,7 +118,8 @@ def _flash_streamed_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
     v = v_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # (BQ, BK)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) * scale     # (BQ, BK)
     m_prev = m_ref[:]
     m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
     p = jnp.exp(logits - m_new)
@@ -124,7 +127,8 @@ def _flash_streamed_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
     m_ref[:] = m_new
 
     @pl.when(k_idx == nk - 1)
@@ -190,7 +194,7 @@ def flash_attention_eligible(sq: int, sk: int, d: int,
     sk_pad = sk + ((-sk) % 128)
     # double-buffered K/V + fp32 logits tile + q/out blocks
     vmem = 4 * sk_pad * d * 2 + block_q * sk_pad * 4 + block_q * d * 8
-    return vmem < 28 * 1024 * 1024
+    return vmem < 56 * 1024 * 1024  # 64MB compiler limit minus headroom
 
 
 def flash_streamed_eligible(sq: int, sk: int, d: int,
