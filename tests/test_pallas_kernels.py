@@ -122,3 +122,27 @@ class TestRaggedFlash:
         assert flash_attention_eligible(576, 576, 64, False, False)
         assert flash_attention_eligible(144, 144, 64, False, False)
         assert not flash_attention_eligible(100, 100, 64, False, False)
+
+
+class TestGegluKernel:
+    def test_parity_with_flax_geglu(self, rng):
+        import flax.linen as nn
+
+        from tvi.ops.pallas_geglu import geglu_project
+
+        m, k, n = 300, 128, 256  # ragged M exercises the pad path
+        x = jax.random.normal(rng, (m, k))
+        w = jax.random.normal(jax.random.fold_in(rng, 1), (k, 2 * n)) * 0.05
+        b = jax.random.normal(jax.random.fold_in(rng, 2), (2 * n,)) * 0.1
+        out = geglu_project(x, w, b, interpret=True)
+        h, g = jnp.split(x @ w + b, 2, axis=-1)
+        expect = h * nn.gelu(g, approximate=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   atol=3e-5, rtol=3e-5)
+
+    def test_eligibility(self):
+        from tvi.ops.pallas_geglu import geglu_eligible
+
+        assert geglu_eligible(460800, 320, 2560)      # res0 FF
+        assert not geglu_eligible(100, 320, 2560)     # tiny M
+        assert not geglu_eligible(460800, 100, 2560)  # ragged K

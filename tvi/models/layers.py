@@ -70,6 +70,38 @@ class TimestepEmbedding(nn.Module):
         return sample
 
 
+class _GegluProj(nn.Module):
+    """GEGLU input projection with the same param layout as a Dense
+    (kernel (K, 2N) + bias), dispatching to the fused Pallas kernel on TPU
+    (tvi/ops/pallas_geglu.py — avoids materializing the (M, 2N)
+    intermediate; measured 1.8x over the XLA unfused path at the headline
+    FF shape)."""
+
+    features: int  # 2 * inner
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x2d: jax.Array) -> jax.Array:
+        k = x2d.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        x2d = x2d.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+
+        from tvi.ops.attention import _flash_enabled
+        from tvi.ops.pallas_geglu import geglu_eligible, geglu_project
+
+        if _flash_enabled() and geglu_eligible(x2d.shape[0], k, self.features):
+            return geglu_project(x2d, kernel, bias)
+        proj = x2d @ kernel + bias
+        hidden, gate = jnp.split(proj, 2, axis=-1)
+        return hidden * nn.gelu(gate, approximate=False)
+
+
 class FeedForward(nn.Module):
     """GEGLU feed-forward (reference attention.py:481-535): project to
     mult*dim*2, split, x*gelu(gate), project back."""
@@ -83,10 +115,11 @@ class FeedForward(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         dim = x.shape[-1]
         inner = dim * self.mult
-        proj = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="proj_geglu")(x)
-        hidden, gate = jnp.split(proj, 2, axis=-1)
-        hidden = hidden * nn.gelu(gate, approximate=False)
+        lead = x.shape[:-1]
+        hidden = _GegluProj(inner * 2, dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            name="proj_geglu")(x.reshape(-1, dim))
+        hidden = hidden.reshape(lead + (inner,))
         return nn.Dense(self.dim_out or dim, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="proj_out")(hidden)
 
