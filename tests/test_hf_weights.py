@@ -95,6 +95,9 @@ class TestNaming:
         ("decoder.time_conv_out.weight", "decoder/time_conv_out/kernel"),
         ("encoder.mid_block.attentions.0.group_norm.weight",
          "encoder/mid_block/attentions_0/group_norm/scale"),
+        ("quant_conv.weight", "quant_conv/kernel"),
+        ("encoder.down_blocks.0.downsamplers.0.conv.weight",
+         "encoder/down_blocks_0/downsamplers_0/conv/kernel"),
     ])
     def test_key_translation(self, torch_key, flax_path):
         path, _ = translate_torch_key(torch_key)

@@ -125,12 +125,16 @@ class TestRaggedFlash:
 
 
 class TestGegluKernel:
-    def test_parity_with_flax_geglu(self, rng):
+    @pytest.mark.parametrize("m,k,n", [
+        (300, 128, 256),    # ragged M exercises the pad path
+        (512, 320, 1280),   # real SVD FF shape: n not a multiple of 512
+        (256, 128, 640),    # n in (512, 1024) regression for unwritten cols
+    ])
+    def test_parity_with_flax_geglu(self, rng, m, k, n):
         import flax.linen as nn
 
         from tvi.ops.pallas_geglu import geglu_project
 
-        m, k, n = 300, 128, 256  # ragged M exercises the pad path
         x = jax.random.normal(rng, (m, k))
         w = jax.random.normal(jax.random.fold_in(rng, 1), (k, 2 * n)) * 0.05
         b = jax.random.normal(jax.random.fold_in(rng, 2), (2 * n,)) * 0.1

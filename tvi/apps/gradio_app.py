@@ -50,9 +50,9 @@ class Drag:
             else:
                 params = None
                 if self.model_dir:
-                    from tvi.io.orbax_ckpt import CheckpointManager
+                    from tvi.io.orbax_ckpt import load_pipeline_params
 
-                    _, params = CheckpointManager(self.model_dir).restore_latest()
+                    params = load_pipeline_params(self.model_dir)
                 self.pipe = build_pipeline(rng, with_controlnet=True, params=params)
 
     def get_tracks(self, first_u8: np.ndarray, end_u8: np.ndarray,

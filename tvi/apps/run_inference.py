@@ -69,6 +69,8 @@ def main(argv=None):
     cond_files = sorted(
         (f for f in os.listdir(args.cond_dir)
          if f.lower().endswith((".png", ".jpg", ".jpeg"))), key=frame_number)
+    if not cond_files:
+        raise SystemExit(f"[run_inference] no image files in {args.cond_dir}")
     cond_files = cond_files[: args.num_frames]
     if len(cond_files) < args.num_frames:
         cond_files += [cond_files[-1]] * (args.num_frames - len(cond_files))

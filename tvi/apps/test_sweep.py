@@ -97,15 +97,16 @@ def build_pipe(args):
     # plain --use_projector projects a single embedding (pipeline:446-449)
     dim = TINY_UNET.cross_attention_dim if args.tiny else UNetConfig().cross_attention_dim
     proj_in = 2 * dim if args.do_motion_prompt else dim
+    params = None
+    if args.model:
+        from tvi.io.orbax_ckpt import load_pipeline_params
+
+        params = load_pipeline_params(args.model)
     if args.tiny:
         return build_tiny_pipeline(rng, with_controlnet=with_cn,
                                    with_projector=with_proj,
-                                   projector_input_dim=proj_in)
-    params = None
-    if args.model:
-        from tvi.io.orbax_ckpt import CheckpointManager
-
-        _, params = CheckpointManager(args.model).restore_latest()
+                                   projector_input_dim=proj_in,
+                                   params=params)
     return build_pipeline(rng, with_controlnet=with_cn,
                           with_projector=with_proj,
                           projector_input_dim=proj_in,

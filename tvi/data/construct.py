@@ -78,7 +78,8 @@ def folderize(split_root: str, train_root: str, gap: int = 10,
     for vid_num, video in enumerate(videos):
         vpath = os.path.join(split_root, video)
         frames = sorted(f for f in os.listdir(vpath) if f.endswith((".jpg", ".png")))
-        n = min(len(frames) // gap, max_frames)
+        # every gap-th frame i with gap*i < len(frames)
+        n = min((len(frames) - 1) // gap + 1 if frames else 0, max_frames)
         for i in range(n):
             folder = os.path.join(train_root, f"frame_{i:02d}")
             os.makedirs(folder, exist_ok=True)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+import jax
 import orbax.checkpoint as ocp
 
 
@@ -50,3 +51,44 @@ class CheckpointManager:
 
     def all_steps(self):
         return self._mgr.all_steps()
+
+
+_PIPELINE_FILE = "pipeline_params.msgpack"
+
+
+def export_pipeline_params(directory: str, params: dict):
+    """Save a full merged pipeline param dict (keys: unet, vae, clip,
+    mask_token[, projector, controlnet]) — the counterpart of the
+    reference's final pipeline.save_pretrained (src/train.py:797-805).
+    Stored as flax msgpack: topology-independent (Orbax checkpoints pin the
+    saving run's device shardings) and loadable without a tree template.
+    Loadable by tvi.pipelines.factory.build_pipeline(params=...)."""
+    import numpy as np
+    from flax import serialization
+
+    os.makedirs(directory, exist_ok=True)
+    host = jax.tree.map(lambda x: np.asarray(x), params)
+    with open(os.path.join(directory, _PIPELINE_FILE), "wb") as fh:
+        fh.write(serialization.msgpack_serialize(host))
+
+
+def load_pipeline_params(directory: str) -> dict:
+    """Restore params exported by export_pipeline_params; accepts either
+    the export directory itself or a trainer output_dir containing
+    pipeline/."""
+    from flax import serialization
+
+    for cand in (os.path.join(directory, "pipeline", _PIPELINE_FILE),
+                 os.path.join(directory, _PIPELINE_FILE)):
+        if os.path.exists(cand):
+            with open(cand, "rb") as fh:
+                tree = serialization.msgpack_restore(fh.read())
+            if not isinstance(tree, dict) or "unet" not in tree:
+                raise ValueError(
+                    f"{cand} does not hold exported pipeline params "
+                    f"(keys: {sorted(tree) if isinstance(tree, dict) else type(tree)})")
+            return tree
+    raise FileNotFoundError(
+        f"no {_PIPELINE_FILE} under {directory} (or {directory}/pipeline) — "
+        "trainer TrainState checkpoints hold only the trainable subset; "
+        "run training to completion or call export_pipeline_params")

@@ -22,6 +22,23 @@ from tvi.models.layers import Attention, gn_groups
 from tvi.models.resnet import ResnetBlock2D, SpatioTemporalResBlock, Upsample2D
 
 
+class EncoderDownsample2D(nn.Module):
+    """Asymmetric-pad stride-2 conv (diffusers encoder Downsample2D with
+    padding=0 + manual (0,1,0,1) pad); inner conv named 'conv' to match the
+    torch key encoder.down_blocks.N.downsamplers.0.conv."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding="VALID",
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="conv")(x)
+
+
 class DownEncoderBlock2D(nn.Module):
     out_channels: int
     num_layers: int = 2
@@ -35,11 +52,9 @@ class DownEncoderBlock2D(nn.Module):
             x = ResnetBlock2D(self.out_channels, eps=1e-6, dtype=self.dtype,
                               param_dtype=self.param_dtype, name=f"resnets_{i}")(x, None)
         if self.add_downsample:
-            # diffusers encoder downsample pads asymmetrically (0,1,0,1)
-            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            x = nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding="VALID",
-                        dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="downsamplers_0")(x)
+            x = EncoderDownsample2D(self.out_channels, dtype=self.dtype,
+                                    param_dtype=self.param_dtype,
+                                    name="downsamplers_0")(x)
         return x
 
 
@@ -94,9 +109,6 @@ class Encoder(nn.Module):
         x = nn.silu(x)
         x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv_out")(x)
-        # quant_conv (AutoencoderKLTemporalDecoder has quant_conv, no post_quant)
-        x = nn.Conv(2 * cfg.latent_channels, (1, 1), dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="quant_conv")(x)
         return x
 
 
@@ -194,10 +206,14 @@ class AutoencoderKLTemporalDecoder(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.config, dtype=self.dtype, param_dtype=self.param_dtype)
         self.decoder = TemporalDecoder(self.config, dtype=self.dtype, param_dtype=self.param_dtype)
+        # top-level like the torch model (AutoencoderKLTemporalDecoder has a
+        # quant_conv but no post_quant_conv)
+        self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1),
+                                  dtype=self.dtype, param_dtype=self.param_dtype)
 
     def encode_moments(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """x: (N, H, W, 3) -> (mean, logvar), each (N, h, w, 4)."""
-        moments = self.encoder(x)
+        moments = self.quant_conv(self.encoder(x))
         mean, logvar = jnp.split(moments, 2, axis=-1)
         return mean, jnp.clip(logvar, -30.0, 20.0)
 

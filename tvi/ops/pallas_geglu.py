@@ -63,7 +63,8 @@ def geglu_project(x: jax.Array, w: jax.Array, b: jax.Array,
     if pad_m:
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
     mp = x.shape[0]
-    bn = min(BN, n)
+    # bn must DIVIDE n or the grid leaves output columns unwritten
+    bn = next(c for c in (BN, 384, 256, 128) if n % c == 0)
     grid = (mp // BM, n // bn)
     out = pl.pallas_call(
         _geglu_kernel,

@@ -57,17 +57,21 @@ def create_mesh(spec: MeshSpec = MeshSpec(), devices: Optional[Sequence[jax.Devi
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
-def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Shard leading (batch) dim over the data axis, replicate the rest."""
-    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+def data_sharding(mesh: Mesh, ndim: int = 1, batch_axis: int = 0) -> NamedSharding:
+    """Shard the batch dim over the data axis, replicate the rest."""
+    spec = [None] * ndim
+    spec[batch_axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Place a host batch pytree with the leading dim sharded over `data`."""
+def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
+    """Place a host batch pytree with dim `batch_axis` sharded over `data`
+    (batch_axis=1 for gradient-accumulation batches shaped
+    (accum, micro_batch, ...))."""
     def _put(x):
-        return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+        return jax.device_put(x, data_sharding(mesh, np.ndim(x), batch_axis))
     return jax.tree.map(_put, batch)

@@ -288,9 +288,10 @@ class InterpolationPipeline:
         if anchors is not None:
             new_tracks[:, anchors] = tracks[:, anchors]
         # PCHIP smooth over frames (the reference imports
-        # interpolate_trajectory into the pipeline for exactly this)
-        new_tracks = interpolate_trajectory(
-            new_tracks[:: max(1, (num_frames - 1) // 3)], num_frames)
+        # interpolate_trajectory into the pipeline for exactly this);
+        # knot selection always includes frame 0 and the final keyframe
+        knots = np.unique(np.linspace(0, num_frames - 1, 4).round().astype(int))
+        new_tracks = interpolate_trajectory(new_tracks[knots], num_frames)
         track_state["tracks"] = new_tracks
         heat = render_heatmap_video(new_tracks, cond_w, cond_h)[None]
         heat = jnp.asarray(heat, self.dtype)
@@ -369,12 +370,17 @@ class InterpolationPipeline:
                 z = z.reshape((b * num_frames,) + z.shape[2:])
                 chunk = decode_chunk_size or num_frames
                 n = z.shape[0]
-                if n % chunk == 0 and n > chunk:
-                    zc = z.reshape((n // chunk, chunk) + z.shape[1:])
+                n_full = (n // chunk) * chunk
+                if n_full >= chunk and n_full > 0 and chunk < n:
+                    zc = z[:n_full].reshape((n_full // chunk, chunk) + z.shape[1:])
                     frames = jax.lax.map(
                         lambda c: self.vae.apply(vae_params, c, chunk,
                                                  method=self.vae.decode), zc)
-                    frames = frames.reshape((n,) + frames.shape[2:])
+                    frames = frames.reshape((n_full,) + frames.shape[2:])
+                    if n_full < n:  # ragged tail decoded as its own chunk
+                        tail = self.vae.apply(vae_params, z[n_full:],
+                                              n - n_full, method=self.vae.decode)
+                        frames = jnp.concatenate([frames, tail], axis=0)
                 else:
                     frames = self.vae.apply(vae_params, z, n, method=self.vae.decode)
                 return frames.reshape(

@@ -96,7 +96,7 @@ def main(argv=None):
     vae_params = vae.init(r2, jnp.zeros((1, 32, 32, 3), dtype), 1)
     clip_params = clip.init(
         r3, jnp.zeros((1, clip_cfg.image_size, clip_cfg.image_size, 3), dtype))
-    lat = 8 if args.tiny else 8  # init shapes are resolution-independent
+    lat = 8  # init shapes are resolution-independent
     cn_params = cn.init(
         r4, jnp.zeros((1, 2, lat, lat, 8), dtype), jnp.zeros(()),
         jnp.zeros((1, 1, unet_cfg.cross_attention_dim), dtype), jnp.zeros((1, 3)),

@@ -255,11 +255,19 @@ def main(argv=None):
 
     timer = StepTimer()
     val_batch = None
+    accum = args.gradient_accumulation_steps
     for step_idx in range(start_step, args.max_train_steps):
-        host_batch = next(batches)
-        if val_batch is None:
-            val_batch = host_batch
-        batch = shard_batch(mesh, host_batch)
+        if accum > 1:
+            # the step scans over a leading (accum, micro_batch, ...) axis
+            micros = [next(batches) for _ in range(accum)]
+            host_batch = {k: np.stack([m[k] for m in micros]) for k in micros[0]}
+            if val_batch is None:
+                val_batch = micros[0]
+        else:
+            host_batch = next(batches)
+            if val_batch is None:
+                val_batch = host_batch
+        batch = shard_batch(mesh, host_batch, batch_axis=1 if accum > 1 else 0)
         r_step = jax.random.fold_in(r_train, step_idx)
         state, metrics = step_fn(state, frozen, batch, r_step)
         sps = timer.tick()
@@ -274,8 +282,20 @@ def main(argv=None):
             run_validation(step_idx + 1, state, val_batch)
         ckpt.save(step_idx + 1, state)
     ckpt.wait()
+    # final pipeline export (reference: pipeline.save_pretrained at
+    # src/train.py:797-805) — full merged params usable by the apps' --model
+    from tvi.io.orbax_ckpt import export_pipeline_params
+    from tvi.train.params import merge_params as _merge
+
+    live = state.ema if (args.use_ema and state.ema is not None) else state.trainable
+    export_pipeline_params(os.path.join(args.output_dir, "pipeline"), {
+        "unet": _merge(live["unet"], frozen["unet"]),
+        "vae": frozen["vae"], "clip": frozen["clip"],
+        "mask_token": frozen["mask_token"],
+        "projector": live["projector"],
+    })
     logger.close()
-    print("[train_interp] done", flush=True)
+    print("[train_interp] done (pipeline exported)", flush=True)
 
 
 if __name__ == "__main__":
