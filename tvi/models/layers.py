@@ -92,10 +92,13 @@ class _GegluProj(nn.Module):
         kernel = kernel.astype(self.dtype)
         bias = bias.astype(self.dtype)
 
+        import os
+
         from tvi.ops.attention import _flash_enabled
         from tvi.ops.pallas_geglu import geglu_eligible, geglu_project
 
-        if _flash_enabled() and geglu_eligible(x2d.shape[0], k, self.features):
+        if (_flash_enabled() and not os.environ.get("TVI_DISABLE_FUSED_GEGLU")
+                and geglu_eligible(x2d.shape[0], k, self.features)):
             return geglu_project(x2d, kernel, bias)
         proj = x2d @ kernel + bias
         hidden, gate = jnp.split(proj, 2, axis=-1)
