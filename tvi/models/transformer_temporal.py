@@ -97,7 +97,7 @@ class TemporalBasicTransformerBlock(nn.Module):
 
         attn = lambda n: Attention(heads=self.heads, dim_head=self.dim_head,
                                    dtype=self.dtype, param_dtype=self.param_dtype, name=n)
-        if not ablated("temporal_attn"):
+        if not (ablated("temporal_attn") or ablated("temporal_self")):
             # Frame self-attention runs per pixel row with tiny F (14-40):
             # naive batched matmuls pad F -> 128 MXU tiles (~4% utilization).
             # Pack P = 128//F rows into one (P*F)-token attention with a
@@ -120,7 +120,7 @@ class TemporalBasicTransformerBlock(nn.Module):
                 hidden_states = attn("attn1")(normed) + hidden_states
 
         stats = None
-        if self.cross_attention and not ablated("temporal_attn"):
+        if self.cross_attention and not (ablated("temporal_attn") or ablated("temporal_cross")):
             out = attn("attn2")(
                 ln("norm2")(hidden_states), encoder_hidden_states,
                 bias=temporal_bias, want_stats=want_stats)

@@ -11,6 +11,8 @@ Components:
   temporal_resnet   - skip the temporal branch of SpatioTemporalResBlock
   spatial_attn      - skip spatial self/cross attention inside blocks
   temporal_attn     - skip temporal attention inside temporal blocks
+  temporal_self     - skip only the frame self-attention
+  temporal_cross    - skip only the temporal cross-attention
 """
 
 from __future__ import annotations
