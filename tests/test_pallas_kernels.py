@@ -150,3 +150,29 @@ class TestGegluKernel:
         assert geglu_eligible(460800, 320, 2560)      # res0 FF
         assert not geglu_eligible(100, 320, 2560)     # tiny M
         assert not geglu_eligible(460800, 100, 2560)  # ragged K
+
+
+class TestTemporalRowsKernel:
+    @pytest.mark.parametrize("r,f", [(300, 25), (512, 14)])
+    def test_parity(self, rng, r, f):
+        from tvi.ops.pallas_temporal_attention import temporal_rows_attention
+
+        h, d = 2, 64
+        k1, k2, k3 = jax.random.split(rng, 3)
+        q = jax.random.normal(k1, (r, f, h, d))
+        k = jax.random.normal(k2, (r, f, h, d))
+        v = jax.random.normal(k3, (r, f, h, d))
+        scale = d ** -0.5
+        out = temporal_rows_attention(q, k, v, scale, interpret=True)
+        logits = jnp.einsum("rqhd,rkhd->rhqk", q, k) * scale
+        expect = jnp.einsum("rhqk,rkhd->rqhd", jax.nn.softmax(logits, -1), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   atol=3e-5, rtol=3e-5)
+
+    def test_eligibility(self):
+        from tvi.ops.pallas_temporal_attention import temporal_rows_eligible
+
+        assert temporal_rows_eligible(18432, 25, 64)   # headline temporal
+        assert not temporal_rows_eligible(18432, 100, 64)  # too many frames
+        assert not temporal_rows_eligible(100, 25, 64)     # too few rows
+        assert not temporal_rows_eligible(18432, 25, 40)  # ragged head dim

@@ -99,25 +99,11 @@ class TemporalBasicTransformerBlock(nn.Module):
                                    dtype=self.dtype, param_dtype=self.param_dtype, name=n)
         if not (ablated("temporal_attn") or ablated("temporal_self")):
             # Frame self-attention runs per pixel row with tiny F (14-40):
-            # naive batched matmuls pad F -> 128 MXU tiles (~4% utilization).
-            # Pack P = 128//F rows into one (P*F)-token attention with a
-            # block-diagonal mask: ~5x fewer wasted tiles, bitwise-equal
-            # softmax per block (TPU-native optimization; no reference
-            # counterpart — the reference runs SDPA row-by-row).
-            rows, f, c = hidden_states.shape
-            pack = max(1, 128 // f)
-            while pack > 1 and rows % pack != 0:
-                pack -= 1
-            normed = ln("norm1")(hidden_states)
-            if pack > 1 and rows % pack == 0:
-                packed = normed.reshape(rows // pack, pack * f, c)
-                block = jnp.kron(jnp.eye(pack, dtype=jnp.float32),
-                                 jnp.ones((f, f), jnp.float32))
-                mask_bias = jnp.where(block > 0, 0.0, -1e9)
-                out = attn("attn1")(packed, bias=mask_bias)
-                hidden_states = out.reshape(rows, f, c) + hidden_states
-            else:
-                hidden_states = attn("attn1")(normed) + hidden_states
+            # on TPU the attention op dispatches this to the dedicated
+            # rows kernel (tvi/ops/pallas_temporal_attention.py), which
+            # keeps the per-row (F, F) logits in VMEM instead of
+            # materializing ~GBs of fp32 logits in HBM.
+            hidden_states = attn("attn1")(ln("norm1")(hidden_states)) + hidden_states
 
         stats = None
         if self.cross_attention and not (ablated("temporal_attn") or ablated("temporal_cross")):

@@ -86,8 +86,18 @@ def dot_product_attention(
             flash_self_attention_streamed,
             flash_streamed_eligible,
         )
+        from tvi.ops.pallas_temporal_attention import (
+            temporal_rows_attention,
+            temporal_rows_eligible,
+        )
 
         sq, sk = q.shape[-3], k.shape[-3]
+        # temporal frame-axis self-attention: tiny seq, huge row batch —
+        # dedicated kernel keeps the per-row logits in VMEM
+        if (bias is None and not want_stats and q.ndim == 4
+                and sq == sk and sq <= 64
+                and temporal_rows_eligible(q.shape[0], sq, d, q.shape[2])):
+            return temporal_rows_attention(q, k, v, float(scale))
         resident = flash_attention_eligible(sq, sk, d, bias is not None, want_stats)
         streamed = (not resident and
                     flash_streamed_eligible(sq, sk, d, bias is not None, want_stats))
