@@ -1,0 +1,261 @@
+"""Perf lab — TPU micro-benchmarks driving the round-2 kernel work.
+
+Each experiment is a separately-jitted program (remote AOT compile costs
+minutes per program through the axon tunnel, so variants are selected by
+argv and results cached via the persistent compile cache).  Timing folds the
+iteration loop inside one jit (fori_loop with a data dependency) and syncs
+via scalar readback — block_until_ready does not synchronize through the
+tunnel (see PERF.md).
+
+Usage: python scripts/perf_lab.py attn_base attn_exp2 mm_d64 ...
+       python scripts/perf_lab.py all_attn
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("TVI_JAX_CACHE", "/tmp/tvi_jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# headline spatial self-attention shape: B*F=50, 5 heads, S=72*128, D=64
+BH, S, D = 250, 9216, 64
+ITERS = int(os.environ.get("TVI_LAB_ITERS", 20))
+LOG2E = 1.4426950408889634
+
+
+def report(name, seconds_per_iter, flops):
+    tf = flops / seconds_per_iter / 1e12
+    print(f"[{name}] {seconds_per_iter*1e3:8.3f} ms/iter  {tf:7.1f} TFLOP/s",
+          flush=True)
+
+
+def bench_attention(name, kernel_fn, block_q=128, iters=ITERS):
+    q = jax.random.normal(jax.random.PRNGKey(0), (BH, S, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (BH, S, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (BH, S, D), jnp.bfloat16)
+    scale = D ** -0.5
+
+    call = functools.partial(_attn_call, kernel_fn, block_q, scale)
+
+    @jax.jit
+    def run(q):
+        return jax.lax.fori_loop(0, iters, lambda i, cur: call(cur, k, v), q)
+
+    out = run(q)
+    float(jnp.float32(out[0, 0, 0]))  # compile + warm
+    t0 = time.perf_counter()
+    out = run(q)
+    float(jnp.float32(out[0, 0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 4 * BH * S * S * D)
+
+
+def _attn_call(kernel_fn, block_q, scale, q, k, v):
+    grid = (BH, S // block_q)
+    return pl.pallas_call(
+        functools.partial(kernel_fn, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, S, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024),
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * S * S * D,
+            bytes_accessed=4 * BH * S * D * 2,
+            transcendentals=BH * S * S,
+        ),
+    )(q, k, v)
+
+
+# ------------------------- kernel variants ---------------------------------
+
+def k_base(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) * scale
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def k_exp2(q_ref, k_ref, v_ref, o_ref, *, scale):
+    # softmax via exp2: exp(x) = exp2(x * log2 e); fold log2 e into the scale
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) * (scale * LOG2E)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp2(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def k_exp2_bf16(q_ref, k_ref, v_ref, o_ref, *, scale):
+    # exp2 computed in bf16 (p only feeds a bf16 matmul anyway)
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) * (scale * LOG2E)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp2((logits - m).astype(jnp.bfloat16))
+    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def k_noexp(q_ref, k_ref, v_ref, o_ref, *, scale):
+    # MXU-only ceiling probe: matmuls + cast, softmax replaced by a scale
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) * scale
+    o = jax.lax.dot_general(
+        logits.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    o_ref[0] = (o * (1.0 / S)).astype(o_ref.dtype)
+
+
+def k_nomax(q_ref, k_ref, v_ref, o_ref, *, scale):
+    # exp2 without the running-max subtraction (numerics unsafe; cost probe)
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) * (scale * LOG2E)
+    p = jnp.exp2(logits)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def k_qpair(q_ref, k_ref, v_ref, o_ref, *, scale):
+    # two independent 128-row halves inside one program: gives the Mosaic
+    # scheduler ILP to overlap half A's softmax (VPU) with half B's matmuls
+    # (MXU)
+    k, v = k_ref[0], v_ref[0]
+
+    def half(q):
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT) * (scale * LOG2E)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp2(logits - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        return o / l
+
+    o0 = half(q_ref[0, :128])
+    o1 = half(q_ref[0, 128:])
+    o_ref[0] = jnp.concatenate([o0, o1], axis=0).astype(o_ref.dtype)
+
+
+# ------------------------- matmul ceilings ----------------------------------
+
+def bench_matmul(name, m, k, n, iters=ITERS):
+    a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.bfloat16)
+
+    @jax.jit
+    def run(a):
+        def body(i, a):
+            c = jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            return (c[:, :k] * 1e-3).astype(a.dtype)
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    out = run(a)
+    float(jnp.float32(out[0, 0]))
+    t0 = time.perf_counter()
+    out = run(a)
+    float(jnp.float32(out[0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * m * k * n)
+
+
+EXPERIMENTS = {}
+
+
+def exp(name):
+    def deco(fn):
+        EXPERIMENTS[name] = fn
+        return fn
+    return deco
+
+
+exp("attn_base")(lambda: bench_attention("attn_base", k_base))
+exp("attn_exp2")(lambda: bench_attention("attn_exp2", k_exp2))
+exp("attn_exp2_bf16")(lambda: bench_attention("attn_exp2_bf16", k_exp2_bf16))
+exp("attn_noexp")(lambda: bench_attention("attn_noexp", k_noexp))
+exp("attn_nomax")(lambda: bench_attention("attn_nomax", k_nomax))
+exp("attn_qpair")(lambda: bench_attention("attn_qpair", k_qpair, block_q=256))
+exp("attn_exp2_bq256")(lambda: bench_attention("attn_exp2_bq256", k_exp2,
+                                               block_q=256))
+exp("mm_d64")(lambda: bench_matmul("mm_d64 (8192,64)x(64,8192)", 8192, 64, 8192))
+exp("mm_d128")(lambda: bench_matmul("mm_d128 (8192,128)x(128,8192)", 8192, 128, 8192))
+exp("mm_kbig_n64")(lambda: bench_matmul("mm_kbig_n64 (8192,8192)x(8192,64)",
+                                        8192, 8192, 64))
+
+GROUPS = {
+    "all_attn": ["attn_base", "attn_exp2", "attn_exp2_bf16", "attn_noexp",
+                 "attn_nomax", "attn_qpair", "attn_exp2_bq256"],
+    "all_mm": ["mm_d64", "mm_d128", "mm_kbig_n64"],
+}
+
+
+def main():
+    names = []
+    for arg in sys.argv[1:]:
+        names.extend(GROUPS.get(arg, [arg]))
+    if not names:
+        print("experiments:", " ".join(EXPERIMENTS), "\ngroups:", " ".join(GROUPS))
+        return
+    print(f"device: {jax.devices()[0]}", flush=True)
+    for n in names:
+        EXPERIMENTS[n]()
+
+
+if __name__ == "__main__":
+    main()

@@ -70,9 +70,16 @@ def compare_frame_dirs(dir_a: str, dir_b: str) -> dict:
 
     import PIL.Image
 
+    import re
+
+    def numkey(name):
+        # numeric-aware ordering: '2.png' < '10.png', 'frame_2' < 'frame_10'
+        return [int(t) if t.isdigit() else t
+                for t in re.split(r"(\d+)", name)]
+
     def load(d):
-        files = sorted(f for f in os.listdir(d)
-                       if f.lower().endswith((".png", ".jpg")))
+        files = sorted((f for f in os.listdir(d)
+                        if f.lower().endswith((".png", ".jpg"))), key=numkey)
         return np.stack([np.asarray(PIL.Image.open(os.path.join(d, f))
                                     .convert("RGB"), dtype=np.float32) / 255.0
                          for f in files]), files
