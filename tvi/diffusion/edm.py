@@ -39,9 +39,10 @@ def stratified_uniform(rng: jax.Array, shape) -> jax.Array:
     return (offsets + u) / n
 
 
-def rand_cosine_interpolated(rng: jax.Array, shape, c: EDMConstants = EDMConstants()) -> jax.Array:
-    """Sigma samples from the interpolated cosine logSNR schedule
-    (simple-diffusion; train.py:144-170)."""
+def sigma_from_u(u: jax.Array, c: EDMConstants = EDMConstants()) -> jax.Array:
+    """Deterministic u in [0,1) -> sigma transform of the interpolated
+    cosine logSNR schedule (train.py:144-170), factored out so tests can
+    anchor it point-for-point against the reference torch code."""
 
     def logsnr_schedule_cosine(t, logsnr_min, logsnr_max):
         t_min = math.atan(math.exp(-0.5 * logsnr_max))
@@ -54,11 +55,16 @@ def rand_cosine_interpolated(rng: jax.Array, shape, c: EDMConstants = EDMConstan
 
     logsnr_min = -2.0 * math.log(c.min_value / c.sigma_data)
     logsnr_max = -2.0 * math.log(c.max_value / c.sigma_data)
-    u = stratified_uniform(rng, shape)
     logsnr_low = shifted(u, c.noise_d_low, logsnr_min, logsnr_max)
     logsnr_high = shifted(u, c.noise_d_high, logsnr_min, logsnr_max)
     logsnr = logsnr_low + u * (logsnr_high - logsnr_low)  # torch.lerp
     return jnp.exp(-logsnr / 2.0) * c.sigma_data
+
+
+def rand_cosine_interpolated(rng: jax.Array, shape, c: EDMConstants = EDMConstants()) -> jax.Array:
+    """Sigma samples from the interpolated cosine logSNR schedule
+    (simple-diffusion; train.py:144-170)."""
+    return sigma_from_u(stratified_uniform(rng, shape), c)
 
 
 def sigma_to_timestep(sigma: jax.Array) -> jax.Array:
