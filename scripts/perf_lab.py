@@ -49,13 +49,15 @@ def bench_attention(name, kernel_fn, block_q=128, iters=ITERS):
     call = functools.partial(_attn_call, kernel_fn, block_q, scale)
 
     @jax.jit
-    def run(q):
+    def run(q, k, v):
+        # k/v must be ARGUMENTS: closed-over arrays are baked into the HLO
+        # as literals and overflow the remote-compile tunnel (HTTP 413)
         return jax.lax.fori_loop(0, iters, lambda i, cur: call(cur, k, v), q)
 
-    out = run(q)
+    out = run(q, k, v)
     float(jnp.float32(out[0, 0, 0]))  # compile + warm
     t0 = time.perf_counter()
-    out = run(q)
+    out = run(q, k, v)
     float(jnp.float32(out[0, 0, 0]))
     dt = (time.perf_counter() - t0) / iters
     report(name, dt, 4 * BH * S * S * D)
@@ -190,6 +192,70 @@ def k_qpair(q_ref, k_ref, v_ref, o_ref, *, scale):
     o_ref[0] = jnp.concatenate([o0, o1], axis=0).astype(o_ref.dtype)
 
 
+def k_gmax(q_ref, k_ref, v_ref, o_ref, *, scale):
+    # per-row max costs ~22ms/call at the headline shape: the (BQ,1)->(BQ,S)
+    # lane-broadcast subtract is a full extra pass over the 4.7MB logits
+    # tile (measured: base 63.6 vs nomax 85.9 TFLOP/s).  A GLOBAL tile max
+    # is a lane-uniform scalar: splat-subtract is free, overflow-safety
+    # identical (logits - m <= 0 everywhere).
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) * (scale * LOG2E)
+    m = jnp.max(logits)
+    p = jnp.exp2(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+# ------------------------- VAE decode triage --------------------------------
+
+def bench_decode(name, chunk=5, no_gn=False, ablate="", frames=25,
+                 height=576, width=1024, iters=2):
+    import flax.linen as nn
+
+    os.environ["TVI_ABLATE"] = ablate
+    orig_call = nn.GroupNorm.__call__
+    if no_gn:
+        nn.GroupNorm.__call__ = lambda self, x, *a, **kw: x
+    try:
+        from tvi.core.config import VAEConfig
+        from tvi.models.vae import AutoencoderKLTemporalDecoder
+
+        cfg = VAEConfig()
+        vae = AutoencoderKLTemporalDecoder(cfg, dtype=jnp.bfloat16,
+                                           param_dtype=jnp.bfloat16)
+        params = vae.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 64, 64, 3), jnp.bfloat16), 1)
+        h, w = height // 8, width // 8
+        z = jax.random.normal(jax.random.PRNGKey(1), (frames, h, w, 4),
+                              jnp.bfloat16)
+
+        @jax.jit
+        def decode(params, z):
+            zc = z.reshape(frames // chunk, chunk, h, w, 4)
+            return jax.lax.map(
+                lambda c: vae.apply(params, c / cfg.scaling_factor,
+                                    c.shape[0], method=vae.decode), zc)
+
+        out = decode(params, z)
+        float(jnp.float32(out.ravel()[0]))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = decode(params, z)
+        float(jnp.float32(out.ravel()[0]))
+        dt = (time.perf_counter() - t0) / iters
+        print(f"[{name}] {dt*1e3:8.1f} ms/decode ({frames}f {width}x{height},"
+              f" chunk {chunk}, no_gn={no_gn}, ablate='{ablate}')", flush=True)
+    finally:
+        nn.GroupNorm.__call__ = orig_call
+        os.environ.pop("TVI_ABLATE", None)
+
+
 # ------------------------- matmul ceilings ----------------------------------
 
 def bench_matmul(name, m, k, n, iters=ITERS):
@@ -197,19 +263,21 @@ def bench_matmul(name, m, k, n, iters=ITERS):
     b = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.bfloat16)
 
     @jax.jit
-    def run(a):
+    def run(a, b):
         def body(i, a):
             c = jax.lax.dot_general(
                 a, b, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
-            return (c[:, :k] * 1e-3).astype(a.dtype)
+            # fold a scalar of c back into a: keeps the loop sequential
+            # without shape games (works for any m/k/n)
+            return a + (c[0, 0] * 1e-9).astype(a.dtype)
         return jax.lax.fori_loop(0, iters, body, a)
 
-    out = run(a)
+    out = run(a, b)
     float(jnp.float32(out[0, 0]))
     t0 = time.perf_counter()
-    out = run(a)
+    out = run(a, b)
     float(jnp.float32(out[0, 0]))
     dt = (time.perf_counter() - t0) / iters
     report(name, dt, 2 * m * k * n)
@@ -233,6 +301,14 @@ exp("attn_nomax")(lambda: bench_attention("attn_nomax", k_nomax))
 exp("attn_qpair")(lambda: bench_attention("attn_qpair", k_qpair, block_q=256))
 exp("attn_exp2_bq256")(lambda: bench_attention("attn_exp2_bq256", k_exp2,
                                                block_q=256))
+exp("attn_gmax")(lambda: bench_attention("attn_gmax", k_gmax))
+exp("attn_gmax_bq256")(lambda: bench_attention("attn_gmax_bq256", k_gmax,
+                                               block_q=256))
+exp("dec_base")(lambda: bench_decode("dec_base", chunk=5))
+exp("dec_chunk25")(lambda: bench_decode("dec_chunk25", chunk=25))
+exp("dec_nogn")(lambda: bench_decode("dec_nogn", chunk=5, no_gn=True))
+exp("dec_notemporal")(lambda: bench_decode("dec_notemporal", chunk=5,
+                                           ablate="temporal_resnet"))
 exp("mm_d64")(lambda: bench_matmul("mm_d64 (8192,64)x(64,8192)", 8192, 64, 8192))
 exp("mm_d128")(lambda: bench_matmul("mm_d128 (8192,128)x(128,8192)", 8192, 128, 8192))
 exp("mm_kbig_n64")(lambda: bench_matmul("mm_kbig_n64 (8192,8192)x(8192,64)",
@@ -242,6 +318,8 @@ GROUPS = {
     "all_attn": ["attn_base", "attn_exp2", "attn_exp2_bf16", "attn_noexp",
                  "attn_nomax", "attn_qpair", "attn_exp2_bq256"],
     "all_mm": ["mm_d64", "mm_d128", "mm_kbig_n64"],
+    "round2b": ["attn_gmax", "attn_gmax_bq256", "dec_base", "dec_chunk25",
+                "dec_nogn", "dec_notemporal"],
 }
 
 

@@ -6,9 +6,11 @@ side-by-side GIF of conditioning vs generation (run_inference.py:12-65).
     python -m tvi.apps.run_inference --image img.png --cond_dir depth_frames/ \
         --output_dir outputs/svd_cn [--tiny --steps 2]
 
-The 8-channel single-token SVD pipeline variant is expressed through the
-same InterpolationPipeline machinery: image==image_end gives first-frame
-conditioning; the depth video rides the ControlNet branch.
+Runs the sub-project's TRUE conditioning layout: an 8-channel UNet input
+(noise-augmented first-frame latent repeated over F frames channel-concat
+with the noisy latents, train_svd.py:1132-1190), a single CLIP token, no
+mask token — selected via PipelineConfig(conditioning_mode='first_frame');
+the depth video rides the ControlNet branch.
 """
 
 from __future__ import annotations
@@ -44,16 +46,24 @@ def main(argv=None):
 
     from tvi.pipelines.factory import build_pipeline, build_tiny_pipeline
 
+    from tvi.core.config import TINY_UNET, UNetConfig
+
     rng = jax.random.PRNGKey(args.seed)
+    # the sub-project UNet is the stock 8-channel SVD denoiser (no mask
+    # channel/token, train_svd.py:797-800)
     if args.tiny:
-        pipe = build_tiny_pipeline(rng, with_controlnet=True)
+        pipe = build_tiny_pipeline(
+            rng, with_controlnet=True,
+            unet_config=TINY_UNET.replace(in_channels=8, use_mask_token=False))
     else:
         params = None
         if args.model:
             from tvi.io.orbax_ckpt import CheckpointManager
 
             _, params = CheckpointManager(args.model).restore_latest()
-        pipe = build_pipeline(rng, with_controlnet=True, params=params)
+        pipe = build_pipeline(
+            rng, with_controlnet=True, params=params,
+            unet_config=UNetConfig(in_channels=8, use_mask_token=False))
 
     os.makedirs(args.output_dir, exist_ok=True)
     img = pil_to_array(PIL.Image.open(args.image), args.height, args.width)
@@ -83,9 +93,10 @@ def main(argv=None):
         height=args.height, width=args.width, num_frames=args.num_frames,
         num_inference_steps=args.steps, motion_bucket_id=args.motion_bucket_id,
         decode_chunk_size=args.decode_chunk_size, with_control=True,
+        conditioning_mode="first_frame",
         controlnet_cond_scale=args.controlnet_cond_scale)
 
-    frames = pipe(img, img, jax.random.PRNGKey(args.seed), cfg,
+    frames = pipe(img, None, jax.random.PRNGKey(args.seed), cfg,
                   controlnet_cond=cond)
     gen = frames[0]
     cond_u8 = (cond[0] * 255).astype(np.uint8)

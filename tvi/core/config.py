@@ -243,6 +243,12 @@ class PipelineConfig(_ConfigBase):
     motion_bucket_id: int = 127
     noise_aug_strength: float = 0.02
     decode_chunk_size: Optional[int] = None
+    # conditioning assembly: 'interp' = the fork's 9-channel
+    # [first, mask_token*, end] + mask channel (train.py:546-557);
+    # 'first_frame' = the sub-project's 8-channel SVD img2vid layout
+    # (first-frame latent repeated over F, single CLIP token,
+    # train_svd.py:1132-1190)
+    conditioning_mode: str = "interp"
     # ControlNet options (missing-pipeline surface reconstructed from
     # src/test.py:592-617 / src/app_org.py:455-476)
     with_control: bool = False

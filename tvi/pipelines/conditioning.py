@@ -74,6 +74,19 @@ def assemble_conditioning_latents(
     return jnp.concatenate([cond, mask], axis=-1)
 
 
+def assemble_first_frame_conditioning(
+    first_latents: jax.Array,   # (B, h, w, 4)
+    num_frames: int,
+) -> jax.Array:
+    """The sub-project's SVD img2vid conditioning: the (noise-augmented)
+    first-frame latent repeated across all F frames, 8 channels total after
+    the channel-concat with the noisy latents — NO mask channel and no end
+    frame (svd-temporal-controlnet/train_svd.py:1132-1135,1187-1190; called
+    from run_inference.py:277-287).  Returns (B, F, h, w, 4)."""
+    b, h, w, c = first_latents.shape
+    return jnp.broadcast_to(first_latents[:, None], (b, num_frames, h, w, c))
+
+
 def assemble_context(
     first_emb: jax.Array,   # (B, 1, 1024) CLIP image embeds
     end_emb: jax.Array,     # (B, 1, 1024)

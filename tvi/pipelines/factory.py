@@ -188,6 +188,7 @@ def build_tiny_pipeline(rng: jax.Array, **kw) -> InterpolationPipeline:
     single-embedding projector path (pipeline:446-449)."""
     tiny_clip = TINY_CLIP.replace(projection_dim=TINY_UNET.cross_attention_dim)
     kw.setdefault("projector_input_dim", 2 * TINY_UNET.cross_attention_dim)
-    return build_pipeline(
-        rng, unet_config=TINY_UNET, vae_config=TINY_VAE, clip_config=tiny_clip,
-        **kw)
+    kw.setdefault("unet_config", TINY_UNET)
+    kw.setdefault("vae_config", TINY_VAE)
+    kw.setdefault("clip_config", tiny_clip)
+    return build_pipeline(rng, **kw)

@@ -40,6 +40,7 @@ from tvi.pipelines.conditioning import (
     CondAblations,
     assemble_conditioning_latents,
     assemble_context,
+    assemble_first_frame_conditioning,
 )
 from tvi.utils.images import postprocess_frames, to_vae_range
 
@@ -108,39 +109,54 @@ class InterpolationPipeline:
 
         rng, r_noise, r_aug1, r_aug2 = jax.random.split(rng, 4)
         image01 = jnp.asarray(image01, jnp.float32)
-        image_end01 = jnp.asarray(image_end01, jnp.float32)
+        if image_end01 is not None:  # unused in 'first_frame' mode
+            image_end01 = jnp.asarray(image_end01, jnp.float32)
+
+        first_frame_mode = cfg.conditioning_mode == "first_frame"
 
         # 3. CLIP embeds (+CFG zeros prepended, pipeline:222-227)
         emb_first = self.encode_image(image01).astype(self.dtype)
-        emb_end = self.encode_image(image_end01).astype(self.dtype)
         if do_cfg:
             emb_first = jnp.concatenate([jnp.zeros_like(emb_first), emb_first])
-            emb_end = jnp.concatenate([jnp.zeros_like(emb_end), emb_end])
+        if not first_frame_mode:
+            emb_end = self.encode_image(image_end01).astype(self.dtype)
+            if do_cfg:
+                emb_end = jnp.concatenate([jnp.zeros_like(emb_end), emb_end])
 
         projector_fn = None
         if self.projector is not None:
             projector_fn = lambda x: self.projector.apply(self.projector_params, x)
-        ctx = assemble_context(emb_first, emb_end, projector_fn,
-                               do_motion_prompt=do_motion_prompt,
-                               ablations=ablations)
+        if first_frame_mode:
+            # plain single-token SVD context (train_svd.py:1147-1150)
+            ctx = emb_first
+        else:
+            ctx = assemble_context(emb_first, emb_end, projector_fn,
+                                   do_motion_prompt=do_motion_prompt,
+                                   ablations=ablations)
 
         # 4. VAE conditioning latents with noise aug (pipeline:456-476)
         pix_first = to_vae_range(image01)
         pix_first = pix_first + cfg.noise_aug_strength * jax.random.normal(
             r_aug1, pix_first.shape, dtype=pix_first.dtype)
-        pix_end = to_vae_range(image_end01)
-        pix_end = pix_end + cfg.noise_aug_strength * jax.random.normal(
-            r_aug2, pix_end.shape, dtype=pix_end.dtype)
         lat_first = self.vae.apply(self.vae_params, pix_first,
                                    method=self.vae.encode_mode).astype(self.dtype)
-        lat_end = self.vae.apply(self.vae_params, pix_end,
-                                 method=self.vae.encode_mode).astype(self.dtype)
         if do_cfg:  # zero latents as the uncond row (pipeline:239-246)
             lat_first = jnp.concatenate([jnp.zeros_like(lat_first), lat_first])
-            lat_end = jnp.concatenate([jnp.zeros_like(lat_end), lat_end])
 
-        image_latents = assemble_conditioning_latents(
-            lat_first, lat_end, self.mask_token, cfg.num_frames, ablations)
+        if first_frame_mode:
+            # 8-channel layout: repeated first-frame latent, no mask channel
+            image_latents = assemble_first_frame_conditioning(
+                lat_first, cfg.num_frames)
+        else:
+            pix_end = to_vae_range(image_end01)
+            pix_end = pix_end + cfg.noise_aug_strength * jax.random.normal(
+                r_aug2, pix_end.shape, dtype=pix_end.dtype)
+            lat_end = self.vae.apply(self.vae_params, pix_end,
+                                     method=self.vae.encode_mode).astype(self.dtype)
+            if do_cfg:
+                lat_end = jnp.concatenate([jnp.zeros_like(lat_end), lat_end])
+            image_latents = assemble_conditioning_latents(
+                lat_first, lat_end, self.mask_token, cfg.num_frames, ablations)
 
         # 5. added time ids, fps-1 convention (pipeline:452,479-487)
         ids = jnp.asarray([[cfg.fps - 1, cfg.motion_bucket_id,
