@@ -212,6 +212,87 @@ def k_gmax(q_ref, k_ref, v_ref, o_ref, *, scale):
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
+def bench_attention_qkbound(name, block_q=256, iters=ITERS):
+    """Softmax shifted by a PRE-COMPUTED per-row upper bound instead of the
+    row max: shift_i = scale*log2e * ||q_i|| * max_j ||k_j||.  Any row-wise
+    shift cancels exactly in p/sum(p); this one needs no post-matmul
+    reduction, so the subtract+exp2 can fuse into the QK epilogue (the
+    measured nomax ceiling)."""
+    q = jax.random.normal(jax.random.PRNGKey(0), (BH, S, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (BH, S, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (BH, S, D), jnp.bfloat16)
+    scale = D ** -0.5
+
+    def kernel(q_ref, k_ref, v_ref, kn_ref, o_ref):
+        qb, kb, vb = q_ref[0], k_ref[0], v_ref[0]
+        c = scale * LOG2E
+        qn = jnp.sqrt(jnp.sum(jnp.square(qb.astype(jnp.float32)),
+                              axis=-1, keepdims=True))
+        shift = qn * (kn_ref[0, 0] * c)                      # (BQ, 1)
+        logits = jax.lax.dot_general(
+            qb, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT) * c
+        p = jnp.exp2(logits - shift)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        o_ref[0] = (o / l).astype(o_ref.dtype)
+
+    def call(q, k, v, knorm):
+        return pl.pallas_call(
+            kernel,
+            grid=(BH, S // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda b, i: (b, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((BH, S, D), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(100 * 1024 * 1024),
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * BH * S * S * D,
+                bytes_accessed=4 * BH * S * D * 2,
+                transcendentals=BH * S * S,
+            ),
+        )(q, k, v, knorm)
+
+    @jax.jit
+    def run(q, k, v):
+        knorm = jnp.max(jnp.linalg.norm(k.astype(jnp.float32), axis=-1),
+                        axis=-1, keepdims=True)           # (BH, 1)
+        return jax.lax.fori_loop(
+            0, iters, lambda i, cur: call(cur, k, v, knorm), q)
+
+    out = run(q, k, v)
+    float(jnp.float32(out[0, 0, 0]))
+    t0 = time.perf_counter()
+    out = run(q, k, v)
+    float(jnp.float32(out[0, 0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 4 * BH * S * S * D)
+
+    # numerics: compare against the row-max reference on the same inputs
+    ref = _attn_call(k_base, 128, scale, q, k, v)
+    got = call(q, k, v, jnp.max(jnp.linalg.norm(
+        k.astype(jnp.float32), axis=-1), axis=-1, keepdims=True))
+    err = jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)))
+    print(f"[{name}] max |diff| vs row-max softmax: {float(err):.2e}",
+          flush=True)
+
+
 # ------------------------- VAE decode triage --------------------------------
 
 def bench_decode(name, chunk=5, no_gn=False, ablate="", frames=25,
@@ -301,6 +382,9 @@ exp("attn_nomax")(lambda: bench_attention("attn_nomax", k_nomax))
 exp("attn_qpair")(lambda: bench_attention("attn_qpair", k_qpair, block_q=256))
 exp("attn_exp2_bq256")(lambda: bench_attention("attn_exp2_bq256", k_exp2,
                                                block_q=256))
+exp("attn_qkbound")(lambda: bench_attention_qkbound("attn_qkbound"))
+exp("attn_qkbound_bq128")(lambda: bench_attention_qkbound(
+    "attn_qkbound_bq128", block_q=128))
 exp("attn_gmax")(lambda: bench_attention("attn_gmax", k_gmax))
 exp("attn_gmax_bq256")(lambda: bench_attention("attn_gmax_bq256", k_gmax,
                                                block_q=256))

@@ -45,6 +45,20 @@ class FrameInterpolationDataset:
     height: int = 320
     sample_n_frames: int = 14
     with_motion_maps: bool = False   # decoupled-trainer variant
+    # decoupled trainer's ControlNet branch: emit per-sample point tracks
+    # (SIFT first<->end, PCHIP over frames) rendered as the Gaussian-heatmap
+    # conditioning video the reference builds from dataset tracks when
+    # point tracks are on (train_decouples.py:915-918,956-976 with the
+    # --no_point_tracks flag inverted; the dataset file itself is missing
+    # from the snapshot — RECONSTRUCTED: straight-line fallback tracks when
+    # SIFT finds no matches, so training never stalls on texture-poor pairs)
+    with_point_tracks: bool = False
+    num_tracks: int = 5
+    # heatmap geometry: the ControlNet embedding downsamples 8x, so the
+    # conditioning video must be 8x the latent grid (== pixel res for the
+    # real 8x VAE; differs for thin test VAEs) — tracks are scaled to match
+    cond_height: Optional[int] = None
+    cond_width: Optional[int] = None
     seed: int = 0
 
     def __post_init__(self):
@@ -91,7 +105,44 @@ class FrameInterpolationDataset:
             gray = video01.mean(axis=-1, keepdims=True)
             item["motion_first"] = np.abs(gray[1] - gray[0]).astype(np.float32)
             item["motion_end"] = np.abs(gray[-1] - gray[-2]).astype(np.float32)
+        if self.with_point_tracks:
+            tracks = self._point_tracks(video01)
+            item["point_tracks"] = tracks
+            from tvi.control.heatmap import render_heatmap_video
+
+            ch = self.cond_height or self.height
+            cw = self.cond_width or self.width
+            scaled = tracks * np.asarray([cw / self.width, ch / self.height],
+                                         np.float32)
+            item["controlnet_cond"] = render_heatmap_video(
+                scaled, cw, ch).astype(np.float32)
         return item
+
+    def _point_tracks(self, video01: np.ndarray) -> np.ndarray:
+        """(F, N, 2) tracks: SIFT matches first->end (app_org.py:389-414
+        autopilot), PCHIP-interpolated; straight-line fallback."""
+        from tvi.control.sift import sift_match
+        from tvi.control.tracks import interpolate_trajectory
+
+        f = video01.shape[0]
+        first = (video01[0] * 255).astype(np.uint8)
+        end = (video01[-1] * 255).astype(np.uint8)
+        pts = sift_match(first, end, thr=0.5, topk=self.num_tracks,
+                         method="random", rng=self._rng)
+        if pts is None:  # texture-poor pair: synthetic straight lines
+            start = np.stack([self._rng.uniform(0, self.width, self.num_tracks),
+                              self._rng.uniform(0, self.height, self.num_tracks)],
+                             axis=-1)
+            drift = self._rng.uniform(-0.1, 0.1, (self.num_tracks, 2)) * \
+                np.asarray([self.width, self.height])
+            pts = np.stack([start, np.clip(start + drift, 0,
+                                           [self.width - 1, self.height - 1])])
+        n = pts.shape[1]
+        tracks = interpolate_trajectory(pts, f)  # (F, n, 2)
+        if n < self.num_tracks:  # pad by repeating so batches stack
+            reps = np.tile(tracks[:, -1:], (1, self.num_tracks - n, 1))
+            tracks = np.concatenate([tracks, reps], axis=1)
+        return tracks[:, : self.num_tracks].astype(np.float32)
 
     def batches(self, batch_size: int, steps: Optional[int] = None
                 ) -> Iterator[Dict[str, np.ndarray]]:

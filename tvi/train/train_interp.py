@@ -76,6 +76,11 @@ def parse_args(argv=None):
     p.add_argument("--decoupled", action="store_true",
                    help="train_decouples.py variant: motion encoder, zeros "
                         "instead of mask token")
+    p.add_argument("--with_controlnet", action="store_true",
+                   help="decoupled trainer's frozen-ControlNet branch "
+                        "(train_decouples.py:740-743,956-976, the inverse of "
+                        "its --without_controlnet): the dataset emits SIFT "
+                        "point tracks rendered as Gaussian-heatmap videos")
     p.add_argument("--use_attentionmask", action="store_true")
     p.add_argument("--use_monotonicity_loss", action="store_true")
     p.add_argument("--frame_matching", action="store_true")
@@ -92,7 +97,8 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def synthetic_batches(rng: np.random.RandomState, b, f, h, w, with_motion=False):
+def synthetic_batches(rng: np.random.RandomState, b, f, h, w,
+                      with_motion=False, with_cond=False):
     while True:
         video = rng.rand(b, f, h, w, 3).astype(np.float32) * 2 - 1
         batch = {"video": video, "first": video[:, 0], "end": video[:, -1]}
@@ -100,6 +106,9 @@ def synthetic_batches(rng: np.random.RandomState, b, f, h, w, with_motion=False)
             gray = video.mean(-1, keepdims=True)
             batch["motion_first"] = np.abs(gray[:, 1] - gray[:, 0])
             batch["motion_end"] = np.abs(gray[:, -1] - gray[:, -2])
+        if with_cond:
+            ch, cw = with_cond  # (cond_h, cond_w): 8x the latent grid
+            batch["controlnet_cond"] = rng.rand(b, f, ch, cw, 3).astype(np.float32)
         yield batch
 
 
@@ -153,6 +162,13 @@ def main(argv=None):
     projector = FeatureProjector(output_dim=unet_cfg.cross_attention_dim, dtype=dtype)
     motion_encoder = MotionEncoder(output_dim=unet_cfg.cross_attention_dim,
                                    dtype=dtype) if args.decoupled else None
+    controlnet = None
+    if args.with_controlnet:
+        from tvi.core.config import ControlNetConfig
+        from tvi.models.controlnet import ControlNetSVDModel
+
+        controlnet = ControlNetSVDModel(
+            ControlNetConfig.from_unet(unet_cfg), dtype=dtype)
 
     rng = jax.random.PRNGKey(args.seed)
     r_unet, r_vae, r_clip, r_proj, r_me, r_mask, r_train = jax.random.split(rng, 7)
@@ -172,12 +188,22 @@ def main(argv=None):
             r_me, jnp.zeros((1, 64, 64, 1), dtype))
     frozen = {"unet": unet_frozen, "vae": vae_params, "clip": clip_params,
               "mask_token": mask_token}
+    if controlnet is not None:
+        cn_cfg = controlnet.config
+        frozen["controlnet"] = controlnet.init(
+            jax.random.fold_in(r_me, 1),
+            jnp.zeros((1, 2, 8, 8, cn_cfg.in_channels), dtype), jnp.zeros(()),
+            (jnp.zeros((1, 2, cn_cfg.cross_attention_dim), dtype),
+             jnp.zeros((1, 1, cn_cfg.cross_attention_dim), dtype)),
+            jnp.zeros((1, 3)),
+            jnp.zeros((1, 2, 64, 64, cn_cfg.conditioning_channels), dtype))
     print(f"[train_interp] trainable params: {count_params(trainable):,} / "
           f"total {count_params(trainable) + count_params(frozen):,}", flush=True)
 
     step_fn, optimizer = make_interp_train_step(
         unet=unet, vae=vae, clip=clip, projector=projector, cfg=cfg,
-        motion_encoder=motion_encoder, mesh=mesh, dtype=dtype)
+        motion_encoder=motion_encoder, controlnet=controlnet,
+        mesh=mesh, dtype=dtype)
     state = create_train_state(trainable, optimizer, use_ema=args.use_ema)
 
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
@@ -204,17 +230,24 @@ def main(argv=None):
               f"across {len(shard_paths)} shards", flush=True)
         batches = loader.batches()
     elif args.data_root and not args.synthetic_data:
+        vsf = vae_cfg.downscale_factor
         ds = FrameInterpolationDataset(
             args.data_root, width=args.width, height=args.height,
             sample_n_frames=args.sample_n_frames,
-            with_motion_maps=args.decoupled, seed=args.seed)
+            with_motion_maps=args.decoupled,
+            with_point_tracks=args.with_controlnet,
+            cond_height=args.height // vsf * 8, cond_width=args.width // vsf * 8,
+            seed=args.seed)
         batches = ds.batches(global_batch)
     else:
         print("[train_interp] using synthetic data", flush=True)
+        vsf = vae_cfg.downscale_factor
         batches = synthetic_batches(
             np.random.RandomState(args.seed), global_batch,
             args.sample_n_frames, args.height, args.width,
-            with_motion=args.decoupled)
+            with_motion=args.decoupled,
+            with_cond=(args.height // vsf * 8, args.width // vsf * 8)
+            if args.with_controlnet else False)
 
     def run_validation(step_idx, state, val_batch):
         """Periodic validation: build the inference pipeline from the live
@@ -267,6 +300,8 @@ def main(argv=None):
             host_batch = next(batches)
             if val_batch is None:
                 val_batch = host_batch
+        host_batch.pop("point_tracks", None)  # host-side artifact; the step
+        # consumes the rendered heatmaps in 'controlnet_cond'
         batch = shard_batch(mesh, host_batch, batch_axis=1 if accum > 1 else 0)
         r_step = jax.random.fold_in(r_train, step_idx)
         state, metrics = step_fn(state, frozen, batch, r_step)
