@@ -228,7 +228,7 @@ def bench_attention_qkbound(name, block_q=256, iters=ITERS):
         c = scale * LOG2E
         qn = jnp.sqrt(jnp.sum(jnp.square(qb.astype(jnp.float32)),
                               axis=-1, keepdims=True))
-        shift = qn * (kn_ref[0, 0] * c)                      # (BQ, 1)
+        shift = qn * (kn_ref[0, 0, 0] * c)                   # (BQ, 1)
         logits = jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -252,8 +252,8 @@ def bench_attention_qkbound(name, block_q=256, iters=ITERS):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), lambda b, i: (b, 0),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
                                    memory_space=pltpu.VMEM),
@@ -269,10 +269,13 @@ def bench_attention_qkbound(name, block_q=256, iters=ITERS):
             ),
         )(q, k, v, knorm)
 
+    def knorm_of(k):
+        return jnp.max(jnp.linalg.norm(k.astype(jnp.float32), axis=-1),
+                       axis=-1)[:, None, None]            # (BH, 1, 1)
+
     @jax.jit
     def run(q, k, v):
-        knorm = jnp.max(jnp.linalg.norm(k.astype(jnp.float32), axis=-1),
-                        axis=-1, keepdims=True)           # (BH, 1)
+        knorm = knorm_of(k)
         return jax.lax.fori_loop(
             0, iters, lambda i, cur: call(cur, k, v, knorm), q)
 
@@ -286,8 +289,7 @@ def bench_attention_qkbound(name, block_q=256, iters=ITERS):
 
     # numerics: compare against the row-max reference on the same inputs
     ref = _attn_call(k_base, 128, scale, q, k, v)
-    got = call(q, k, v, jnp.max(jnp.linalg.norm(
-        k.astype(jnp.float32), axis=-1), axis=-1, keepdims=True))
+    got = call(q, k, v, knorm_of(k))
     err = jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)))
     print(f"[{name}] max |diff| vs row-max softmax: {float(err):.2e}",
           flush=True)

@@ -102,6 +102,39 @@ class TestFlashAttention:
                                    atol=2e-5, rtol=2e-5)
 
 
+class TestBoundShiftSoftmax:
+    """The fused Cauchy-Schwarz shift (default) must match the row-max
+    softmax exactly up to fp rounding — including at adversarially large
+    operand magnitudes where a shiftless exp2 would overflow."""
+
+    @pytest.mark.parametrize("mag", [1.0, 30.0])
+    def test_bound_matches_row_shift(self, rng, mag):
+        d, s, bh = 64, 256, 2
+        k1, k2, k3 = jax.random.split(rng, 3)
+        q = jax.random.normal(k1, (bh, s, d)) * mag
+        k = jax.random.normal(k2, (bh, s, d)) * mag
+        v = jax.random.normal(k3, (bh, s, d))
+        scale = d ** -0.5
+        row = flash_self_attention(q, k, v, scale, interpret=True, shift="row")
+        bound = flash_self_attention(q, k, v, scale, interpret=True,
+                                     shift="bound")
+        assert bool(jnp.all(jnp.isfinite(bound)))
+        np.testing.assert_allclose(np.asarray(bound), np.asarray(row),
+                                   atol=3e-5, rtol=3e-5)
+
+    def test_bound_ragged_masking(self, rng):
+        # padded keys produce p = 2^-shift (not -inf logits): the bound
+        # kernel must still zero them
+        d, s = 64, 300
+        q = jax.random.normal(rng, (1, s, d))
+        out = flash_self_attention(q, q, q, d ** -0.5, interpret=True,
+                                   shift="bound")
+        ref = flash_self_attention(q, q, q, d ** -0.5, interpret=True,
+                                   shift="row")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=3e-5)
+
+
 class TestRaggedFlash:
     @pytest.mark.parametrize("sq,sk", [(576, 576), (144, 144), (300, 300)])
     def test_padded_masked_matches_reference(self, rng, sq, sk):

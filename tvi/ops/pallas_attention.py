@@ -22,6 +22,7 @@ self-attention sequences; `interpret=True` path keeps CPU tests exact.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_Q = 128
+BLOCK_Q_BOUND = 256
+LOG2E = 1.4426950408889634
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_valid: int):
@@ -53,12 +56,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_valid: int):
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def _default_shift() -> str:
+    return os.environ.get("TVI_ATTN_SHIFT", "bound")
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret",
+                                             "shift"))
 def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                         scale: float, block_q: int = BLOCK_Q,
-                         interpret: bool = False) -> jax.Array:
+                         scale: float, block_q: int = 0,
+                         interpret: bool = False,
+                         shift: str = "") -> jax.Array:
     """q/k/v: (BH, S, D).  Ragged S is zero-padded to block multiples and
-    the padded keys masked inside the kernel.  Returns (BH, Sq, D)."""
+    the padded keys masked inside the kernel.  Returns (BH, Sq, D).
+
+    shift: 'bound' (default; fused Cauchy-Schwarz shift, ~1.4x faster) or
+    'row' (classic row-max softmax).  Override via TVI_ATTN_SHIFT.
+    """
+    shift = shift or _default_shift()
+    if not block_q:
+        block_q = BLOCK_Q_BOUND if shift == "bound" else BLOCK_Q
+    if q.shape[1] < block_q:
+        block_q = BLOCK_Q  # short ragged seqs: don't pad past 128-blocks
     bh, sq_in, d = q.shape
     kv_valid = k.shape[1]
     pad_q = (-sq_in) % block_q
@@ -71,23 +89,13 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     sq = q.shape[1]
     sk = k.shape[1]
     grid = (bh, sq // block_q)
-    kernel = functools.partial(_flash_kernel, scale=scale, kv_valid=kv_valid)
-    return pl.pallas_call(
-        kernel,
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(64 * 1024 * 1024),
+            vmem_limit_bytes=int(100 * 1024 * 1024),
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
@@ -96,7 +104,95 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             transcendentals=bh * sq * sk,
         ),
         interpret=interpret,
-    )(q, k, v)[:, :sq_in]
+    )
+    qkv_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    def call_row(q, k, v, knorm):
+        del knorm
+        kernel = functools.partial(_flash_kernel, scale=scale,
+                                   kv_valid=kv_valid)
+        return pl.pallas_call(kernel, in_specs=qkv_specs, **common)(q, k, v)
+
+    if shift != "bound":
+        return call_row(q, k, v, None)[:, :sq_in]
+
+    def call_bound(q, k, v, knorm):
+        kernel = functools.partial(_flash_bound_kernel, scale=scale,
+                                   kv_valid=kv_valid)
+        return pl.pallas_call(
+            kernel,
+            in_specs=qkv_specs + [
+                pl.BlockSpec((1, 1, 1), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM)],
+            **common,
+        )(q, k, v, knorm)
+
+    knorm = jnp.max(
+        jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)),
+        axis=-1)[:, None, None]                            # (BH, 1, 1)
+    # Underflow guard: the Cauchy-Schwarz shift is loose by up to ~sqrt(D)
+    # for near-orthogonal operands; a whole row of exp2 flushes to zero
+    # (-> 0/0) once shift - row_max > ~126.  The worst-case slack proxy
+    # c * max_i||q_i|| * max_j||k_j|| is two cheap reductions; if it leaves
+    # less than a 2x exponent-budget margin, run the row-max kernel instead
+    # (scalar lax.cond — both kernels compile, one executes).
+    qnorm_max = jnp.max(jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)),
+                                         axis=-1)))
+    slack_proxy = qnorm_max * jnp.max(knorm) * (abs(scale) * LOG2E)
+    out = jax.lax.cond(slack_proxy < 63.0, call_bound, call_row,
+                       q, k, v, knorm)
+    return out[:, :sq_in]
+
+
+def _flash_bound_kernel(q_ref, k_ref, v_ref, kn_ref, o_ref, *, scale: float,
+                        kv_valid: int):
+    """Softmax shifted by a PRE-COMPUTED per-row upper bound instead of the
+    row max.
+
+    Any row-wise shift cancels exactly in p_i/sum(p_i); the row max is only
+    ever about fp32 range.  The Cauchy-Schwarz bound
+        shift_i = scale*log2(e) * ||q_i||_2 * max_j ||k_j||_2 >= max_j logits_ij
+    needs no post-matmul reduction, so Mosaic fuses the subtract+exp2 into
+    the QK epilogue instead of spending an extra full VPU pass over the
+    (BQ, Sk) logits tile.  Measured at the headline spatial shape
+    (BH=250, S=9216, D=64): 89.5 TFLOP/s vs 63.6 for the row-max kernel
+    (max |output diff| 9.8e-4 bf16 = 1 ulp); the post-matmul row max caps at
+    65.9 even when reduced to a scalar (scripts/perf_lab.py round2b).
+
+    Underflow safety margin: a row only degrades once
+    shift_i - max_j logits_ij > ~126 (exp2 flushes below 2^-126) — a log2
+    slack no sane attention operand reaches; the row-max kernel remains
+    selectable via TVI_ATTN_SHIFT=row.
+    """
+    q = q_ref[0]                       # (BQ, D)
+    k = k_ref[0]                       # (Sk, D)
+    v = v_ref[0]
+    c = scale * LOG2E
+    qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1,
+                          keepdims=True))
+    shift = qn * (kn_ref[0, 0, 0] * c)                    # (BQ, 1)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) * c          # (BQ, Sk) in log2
+    p = jnp.exp2(logits - shift)
+    if kv_valid < k.shape[0]:
+        # ragged sequences arrive zero-padded; padded keys give logits 0 ->
+        # p = 2^-shift, so zero them after the exp
+        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        p = jnp.where(col < kv_valid, p, 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 def _flash_streamed_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
@@ -183,18 +279,19 @@ def flash_self_attention_streamed(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def flash_attention_eligible(sq: int, sk: int, d: int,
                              has_bias: bool, want_stats: bool,
-                             block_q: int = BLOCK_Q) -> bool:
+                             block_q: int = BLOCK_Q_BOUND) -> bool:
     """Resident-KV kernel eligibility (single softmax pass).  Ragged
     sequences are handled by padding+key-masking, so only a minimum length
     and the VMEM budget gate."""
     if has_bias or want_stats:
         return False
-    if sq < block_q or sk < 128:
+    if sq < BLOCK_Q or sk < 128:  # the wrapper drops to 128-blocks when short
         return False
+    block_q = min(block_q, max(BLOCK_Q, sq))
     sk_pad = sk + ((-sk) % 128)
     # double-buffered K/V + fp32 logits tile + q/out blocks
     vmem = 4 * sk_pad * d * 2 + block_q * sk_pad * 4 + block_q * d * 8
-    return vmem < 56 * 1024 * 1024  # 64MB compiler limit minus headroom
+    return vmem < 90 * 1024 * 1024  # 100MB compiler limit minus headroom
 
 
 def flash_streamed_eligible(sq: int, sk: int, d: int,

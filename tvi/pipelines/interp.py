@@ -62,6 +62,33 @@ class InterpolationPipeline:
     controlnet: Any = None
     controlnet_params: Any = None
     dtype: Any = jnp.bfloat16
+    # optional multi-chip serving mesh: the CFG pair rides the 'data' axis,
+    # latent height the 'model' axis (XLA partitions convs with halo
+    # exchanges and all-gathers attention K/V over ICI) — the whole jitted
+    # denoise fori-loop and the chunked decode run SPMD, not just one
+    # forward (tvi/parallel/inference_sharding.py documents the layout)
+    mesh: Any = None
+
+    def _mesh_shardings(self, do_cfg: bool, batch: int = 2):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tvi.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        mesh = self.mesh
+        repl = NamedSharding(mesh, P())
+        data_n = mesh.shape.get(DATA_AXIS, 1)
+        # the CFG pair rides 'data' only when it divides (serving one video
+        # means batch 2 — use a (2, N) data x model mesh to engage both axes)
+        batch_ax = DATA_AXIS if (do_cfg and batch % data_n == 0) else None
+        return {
+            "repl": repl,
+            # (B, F, h, w, C) video latents: un-CFG'd input latents shard
+            # height only; CFG-doubled tensors shard batch on 'data' too
+            "lat": NamedSharding(mesh, P(None, None, MODEL_AXIS, None, None)),
+            "pair": NamedSharding(mesh, P(batch_ax, None, MODEL_AXIS, None, None)),
+            "ctx": NamedSharding(mesh, P(batch_ax, None, None)),
+            "ids": NamedSharding(mesh, P(batch_ax, None)),
+        }
 
     def controlnet_cond_size(self, height: int, width: int):
         """Resolution the ControlNet conditioning video must have: 8x the
@@ -321,11 +348,13 @@ class InterpolationPipeline:
                  use_temporal_attention_bias: bool):
         key = ("denoise", latents.shape, do_cfg, with_control, num_steps,
                step_range, use_temporal_attention_bias,
-               isinstance(ctx, tuple))
+               isinstance(ctx, tuple), self.mesh)
         fn = self._jit_cache_get(key)
         if fn is None:
             lo = int(step_range[0] * num_steps)
             hi = int(step_range[1] * num_steps)
+            sh = (self._mesh_shardings(do_cfg, image_latents.shape[0])
+                  if self.mesh is not None else None)
 
             def run(unet_params, cn_params, latents, image_latents, ctx,
                     added_time_ids, sigmas, timesteps, guidance, cn_cond,
@@ -337,6 +366,10 @@ class InterpolationPipeline:
                     x = jnp.concatenate([latents] * 2) if do_cfg else latents
                     x = self.scheduler.scale_model_input(x, sigma).astype(self.dtype)
                     x_in = jnp.concatenate([x, image_latents.astype(self.dtype)], axis=-1)
+                    if sh is not None:
+                        # pin the CFG pair to 'data' and latent height to
+                        # 'model' for the whole loop body
+                        x_in = jax.lax.with_sharding_constraint(x_in, sh["pair"])
 
                     down_res = mid_res = None
                     if with_control:
@@ -366,7 +399,19 @@ class InterpolationPipeline:
 
                 return jax.lax.fori_loop(0, num_steps, body, latents)
 
-            fn = jax.jit(run, donate_argnums=(2,))
+            if sh is not None:
+                fn = jax.jit(
+                    run, donate_argnums=(2,),
+                    in_shardings=(sh["repl"], sh["repl"], sh["lat"],
+                                  sh["pair"],
+                                  (sh["ctx"], sh["ctx"]) if isinstance(ctx, tuple)
+                                  else sh["ctx"],
+                                  sh["ids"], sh["repl"], sh["repl"],
+                                  sh["repl"], sh["pair"] if cn_cond is not None
+                                  else sh["repl"], sh["repl"]),
+                    out_shardings=sh["lat"])
+            else:
+                fn = jax.jit(run, donate_argnums=(2,))
             self._jit_cache_put(key, fn)
         return fn(unet_params, cn_params, latents, image_latents, ctx,
                   added_time_ids, sigmas, timesteps, guidance, cn_cond,
@@ -377,9 +422,22 @@ class InterpolationPipeline:
                        decode_chunk_size: Optional[int] = None) -> jax.Array:
         """(B, F, h, w, 4) -> (B, F, H, W, 3) in [-1,1]; chunked decode like
         pipeline:282-308."""
-        key = ("decode", latents.shape, num_frames, decode_chunk_size)
+        key = ("decode", latents.shape, num_frames, decode_chunk_size, self.mesh)
         fn = self._jit_cache_get(key)
         if fn is None:
+            chunk_sh = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from tvi.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+                chunk = decode_chunk_size or num_frames
+                data_n = self.mesh.shape.get(DATA_AXIS, 1)
+                frame_ax = DATA_AXIS if chunk % data_n == 0 else None
+                # frames of a chunk over 'data', pixel height over 'model'
+                chunk_sh = NamedSharding(
+                    self.mesh, P(frame_ax, MODEL_AXIS, None, None))
+
             def run(vae_params, latents):
                 b = latents.shape[0]
                 z = latents.astype(jnp.float32) / self.vae.config.scaling_factor
@@ -387,18 +445,23 @@ class InterpolationPipeline:
                 chunk = decode_chunk_size or num_frames
                 n = z.shape[0]
                 n_full = (n // chunk) * chunk
+
+                def dec(c):
+                    if chunk_sh is not None:
+                        c = jax.lax.with_sharding_constraint(c, chunk_sh)
+                    return self.vae.apply(vae_params, c, c.shape[0],
+                                          method=self.vae.decode)
+
                 if n_full >= chunk and n_full > 0 and chunk < n:
                     zc = z[:n_full].reshape((n_full // chunk, chunk) + z.shape[1:])
-                    frames = jax.lax.map(
-                        lambda c: self.vae.apply(vae_params, c, chunk,
-                                                 method=self.vae.decode), zc)
+                    frames = jax.lax.map(dec, zc)
                     frames = frames.reshape((n_full,) + frames.shape[2:])
                     if n_full < n:  # ragged tail decoded as its own chunk
                         tail = self.vae.apply(vae_params, z[n_full:],
                                               n - n_full, method=self.vae.decode)
                         frames = jnp.concatenate([frames, tail], axis=0)
                 else:
-                    frames = self.vae.apply(vae_params, z, n, method=self.vae.decode)
+                    frames = dec(z)
                 return frames.reshape(
                     (b, num_frames) + frames.shape[1:]).astype(jnp.float32)
 
