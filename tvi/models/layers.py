@@ -51,6 +51,30 @@ def get_timestep_embedding(
     return emb
 
 
+class FusedGroupNorm(nn.Module):
+    """Drop-in nn.GroupNorm replacement (same param structure: scale/bias of
+    shape (C,)) using the TPU-friendly per-channel-first formulation of
+    tvi.ops.groupnorm, with an optional fused SiLU epilogue (the diffusers
+    resnets always compute GN->SiLU back to back)."""
+
+    num_groups: int
+    epsilon: float = 1e-5
+    use_silu: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from tvi.ops.groupnorm import group_norm_silu
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        return group_norm_silu(x.astype(self.dtype), scale, bias,
+                               self.num_groups, eps=self.epsilon,
+                               apply_silu=self.use_silu)
+
+
 class TimestepEmbedding(nn.Module):
     """linear -> silu -> linear (diffusers TimestepEmbedding)."""
 
@@ -187,7 +211,7 @@ class Attention(nn.Module):
     ):
         residual = hidden_states
         if self.norm_num_groups is not None:
-            hidden_states = nn.GroupNorm(
+            hidden_states = FusedGroupNorm(
                 num_groups=self.norm_num_groups, epsilon=self.eps,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name="group_norm")(hidden_states)

@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tvi.models.layers import AlphaBlender, gn_groups
+from tvi.models.layers import AlphaBlender, FusedGroupNorm, gn_groups
 from tvi.utils.ablate import ablated
 
 
@@ -32,10 +32,9 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=gn_groups(in_channels), epsilon=self.eps,
-                         dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = FusedGroupNorm(num_groups=gn_groups(in_channels), epsilon=self.eps,
+                           use_silu=True, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv1")(h)
         if temb is not None:
@@ -43,10 +42,9 @@ class ResnetBlock2D(nn.Module):
                                  param_dtype=self.param_dtype,
                                  name="time_emb_proj")(nn.silu(temb))
             h = h + temb_proj[:, None, None, :]
-        h = nn.GroupNorm(num_groups=gn_groups(self.out_channels), epsilon=self.eps,
-                         dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = FusedGroupNorm(num_groups=gn_groups(self.out_channels), epsilon=self.eps,
+                           use_silu=True, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv2")(h)
         if in_channels != self.out_channels:
@@ -70,10 +68,9 @@ class TemporalResnetBlock(nn.Module):
         conv3 = lambda n: nn.Conv(self.out_channels, (3, 1, 1),
                                   padding=((1, 1), (0, 0), (0, 0)),
                                   dtype=self.dtype, param_dtype=self.param_dtype, name=n)
-        h = nn.GroupNorm(num_groups=gn_groups(in_channels), epsilon=self.eps,
-                         dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = FusedGroupNorm(num_groups=gn_groups(in_channels), epsilon=self.eps,
+                           use_silu=True, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="norm1")(x)
         h = conv3("conv1")(h)
         if temb is not None:
             # temb: (B, F, temb_ch) -> (B, F, 1, 1, C)
@@ -81,10 +78,9 @@ class TemporalResnetBlock(nn.Module):
                                  param_dtype=self.param_dtype,
                                  name="time_emb_proj")(nn.silu(temb))
             h = h + temb_proj[:, :, None, None, :]
-        h = nn.GroupNorm(num_groups=gn_groups(self.out_channels), epsilon=self.eps,
-                         dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = FusedGroupNorm(num_groups=gn_groups(self.out_channels), epsilon=self.eps,
+                           use_silu=True, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="norm2")(h)
         h = conv3("conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,

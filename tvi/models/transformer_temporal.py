@@ -157,9 +157,11 @@ class TransformerSpatioTemporalModel(nn.Module):
         s_ctx = jnp.repeat(spatial_ctx, num_frames, axis=0)
 
         residual = hidden_states
-        hidden_states = nn.GroupNorm(num_groups=gn_groups(channels), epsilon=1e-6,
-                                     dtype=self.dtype,
-                                     param_dtype=self.param_dtype, name="norm")(hidden_states)
+        from tvi.models.layers import FusedGroupNorm
+
+        hidden_states = FusedGroupNorm(num_groups=gn_groups(channels), epsilon=1e-6,
+                                       dtype=self.dtype,
+                                       param_dtype=self.param_dtype, name="norm")(hidden_states)
         hidden_states = hidden_states.reshape(bf, height * width, channels)
         hidden_states = nn.Dense(inner_dim, dtype=self.dtype,
                                  param_dtype=self.param_dtype, name="proj_in")(hidden_states)

@@ -145,10 +145,11 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             intermediate_features.append(sample)
 
         # 6. post-process (reference :491-496)
-        sample = nn.GroupNorm(num_groups=gn_groups(cfg.block_out_channels[0]),
-                              epsilon=1e-5, dtype=self.dtype,
-                              param_dtype=self.param_dtype, name="conv_norm_out")(sample)
-        sample = nn.silu(sample)
+        from tvi.models.layers import FusedGroupNorm
+
+        sample = FusedGroupNorm(num_groups=gn_groups(cfg.block_out_channels[0]),
+                                epsilon=1e-5, use_silu=True, dtype=self.dtype,
+                                param_dtype=self.param_dtype, name="conv_norm_out")(sample)
         sample = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="conv_out")(sample)
         sample = sample.reshape((batch_size, num_frames) + sample.shape[1:])

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from tvi.core.config import VAEConfig
-from tvi.models.layers import Attention, gn_groups
+from tvi.models.layers import Attention, FusedGroupNorm, gn_groups
 from tvi.models.resnet import ResnetBlock2D, SpatioTemporalResBlock, Upsample2D
 
 
@@ -103,10 +103,9 @@ class Encoder(nn.Module):
                 name=f"down_blocks_{i}")(x)
         x = UNetMidBlock2D(cfg.block_out_channels[-1], dtype=self.dtype,
                            param_dtype=self.param_dtype, name="mid_block")(x)
-        x = nn.GroupNorm(num_groups=gn_groups(cfg.block_out_channels[-1]),
-                         epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = FusedGroupNorm(num_groups=gn_groups(cfg.block_out_channels[-1]),
+                           epsilon=1e-6, use_silu=True, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="conv_norm_out")(x)
         x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv_out")(x)
         return x
@@ -183,10 +182,9 @@ class TemporalDecoder(nn.Module):
                 ch, num_layers=cfg.layers_per_block + 1,
                 add_upsample=i < len(rev) - 1, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"up_blocks_{i}")(x, num_frames)
-        x = nn.GroupNorm(num_groups=gn_groups(cfg.block_out_channels[0]),
-                         epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = FusedGroupNorm(num_groups=gn_groups(cfg.block_out_channels[0]),
+                           epsilon=1e-6, use_silu=True, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="conv_norm_out")(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv_out")(x)
         # temporal smoothing conv over frames: (BF,H,W,C) -> (B,F,H,W,C)
