@@ -48,9 +48,11 @@ def save_gif(frames_uint8: np.ndarray, path: str, duration_ms: int = 100):
                 duration=duration_ms)
 
 
-def save_mp4(frames_uint8: np.ndarray, path: str, fps: int = 7):
-    """Save frames as MP4 via imageio/ffmpeg when available; silently falls
-    back to GIF next to it otherwise (app_org.py writes both, :487-494)."""
+def save_mp4(frames_uint8: np.ndarray, path: str, fps: int = 7) -> str:
+    """Save frames as MP4 via imageio/ffmpeg when available; falls back to
+    an animated GIF at '<path>.gif' otherwise (ffmpeg is not in this image;
+    app_org.py writes both formats, :487-494).  Returns the path actually
+    written."""
     try:
         import imageio.v2 as imageio
 
@@ -58,6 +60,8 @@ def save_mp4(frames_uint8: np.ndarray, path: str, fps: int = 7):
         for f in frames_uint8:
             writer.append_data(f)
         writer.close()
+        return path
     except Exception:
-        save_gif(frames_uint8, path.rsplit(".", 1)[0] + ".gif",
-                 duration_ms=int(1000 / fps))
+        fallback = path + ".gif"
+        save_gif(frames_uint8, fallback, duration_ms=int(1000 / fps))
+        return fallback
