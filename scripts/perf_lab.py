@@ -421,5 +421,163 @@ def main():
         EXPERIMENTS[n]()
 
 
+
+
+# ------------------------- round-3 experiments ------------------------------
+
+def bench_fused_temporal(name, r=18432, f=25, c=320, block_r=0, iters=10):
+    """Fused QKV+frame-attention+out-proj kernel at the headline temporal
+    shapes (R=B*H*W rows, F frames, C channels)."""
+    from tvi.ops.pallas_fused_temporal import fused_temporal_self_attention
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (r, f, c), jnp.bfloat16)
+    scale_w = c ** -0.5
+    wq = jax.random.normal(ks[1], (c, c), jnp.bfloat16) * scale_w
+    wk = jax.random.normal(ks[2], (c, c), jnp.bfloat16) * scale_w
+    wv = jax.random.normal(ks[3], (c, c), jnp.bfloat16) * scale_w
+    wo = jax.random.normal(ks[4], (c, c), jnp.bfloat16) * scale_w
+    bo = jnp.zeros((c,), jnp.bfloat16)
+    heads = c // 64
+
+    @jax.jit
+    def run(x, wq, wk, wv, wo, bo):
+        def body(i, cur):
+            out = fused_temporal_self_attention(cur, wq, wk, wv, wo, bo,
+                                                heads=heads, scale=64 ** -0.5,
+                                                block_r=block_r)
+            return (cur + 0.01 * out).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(x, wq, wk, wv, wo, bo)
+    float(jnp.float32(out[0, 0, 0]))
+    t0 = time.perf_counter()
+    out = run(x, wq, wk, wv, wo, bo)
+    float(jnp.float32(out[0, 0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    flops = 2 * r * f * c * 4 * c + 4 * r * (c // 64) * f * f * 64
+    report(name, dt, flops)
+
+
+def bench_unfused_temporal(name, r=18432, f=25, c=320, iters=10):
+    """The XLA path the fused kernel replaces: LN-less QKV + rows kernel +
+    out-proj (same math, unfused HBM traffic)."""
+    from tvi.ops.pallas_temporal_attention import temporal_rows_attention
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (r, f, c), jnp.bfloat16)
+    scale_w = c ** -0.5
+    wq = jax.random.normal(ks[1], (c, c), jnp.bfloat16) * scale_w
+    wk = jax.random.normal(ks[2], (c, c), jnp.bfloat16) * scale_w
+    wv = jax.random.normal(ks[3], (c, c), jnp.bfloat16) * scale_w
+    wo = jax.random.normal(ks[4], (c, c), jnp.bfloat16) * scale_w
+    bo = jnp.zeros((c,), jnp.bfloat16)
+    heads = c // 64
+
+    @jax.jit
+    def run(x, wq, wk, wv, wo, bo):
+        def body(i, cur):
+            q = (cur @ wq).reshape(r, f, heads, 64)
+            k = (cur @ wk).reshape(r, f, heads, 64)
+            v = (cur @ wv).reshape(r, f, heads, 64)
+            o = temporal_rows_attention(q, k, v, 64 ** -0.5)
+            out = o.reshape(r, f, c) @ wo + bo
+            return (cur + 0.01 * out).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(x, wq, wk, wv, wo, bo)
+    float(jnp.float32(out[0, 0, 0]))
+    t0 = time.perf_counter()
+    out = run(x, wq, wk, wv, wo, bo)
+    float(jnp.float32(out[0, 0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    flops = 2 * r * f * c * 4 * c + 4 * r * (c // 64) * f * f * 64
+    report(name, dt, flops)
+
+
+def bench_unet_fwd(name, frames=25, height=576, width=1024, iters=3,
+                   env=None):
+    """Full UNet forward (the denoise step's hot body) with optional env
+    knobs (TVI_ATTN_SHIFT / TVI_DISABLE_FUSED_TEMPORAL / TVI_ABLATE ...) —
+    set BEFORE tracing, so the knob changes the compiled program."""
+    import os as _os
+    saved = {}
+    for k, v in (env or {}).items():
+        saved[k] = _os.environ.get(k)
+        _os.environ[k] = v
+    try:
+        from tvi.core.config import UNetConfig
+        from tvi.models.unet_st import UNetSpatioTemporalConditionModel
+
+        cfg = UNetConfig()
+        unet = UNetSpatioTemporalConditionModel(cfg, dtype=jnp.bfloat16,
+                                                param_dtype=jnp.bfloat16)
+        params = unet.init_params(jax.random.PRNGKey(0))
+        b, f = 2, frames
+        h, w = height // 8, width // 8
+        x = jax.random.normal(jax.random.PRNGKey(1), (b, f, h, w, 9),
+                              jnp.bfloat16)
+        ctx = (jnp.zeros((b, 2, cfg.cross_attention_dim), jnp.bfloat16),
+               jnp.zeros((b, 1, cfg.cross_attention_dim), jnp.bfloat16))
+        ids = jnp.zeros((b, 3), jnp.float32)
+
+        @jax.jit
+        def run(params, x):
+            def body(i, cur):
+                out, _ = unet.apply(params, cur, jnp.zeros((b,)), ctx, ids)
+                return (cur + 0.001 * jnp.pad(
+                    out, ((0, 0),) * 4 + ((0, 5),))).astype(cur.dtype)
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        out = run(params, x)
+        float(jnp.float32(out[0, 0, 0, 0, 0]))
+        t0 = time.perf_counter()
+        out = run(params, x)
+        float(jnp.float32(out[0, 0, 0, 0, 0]))
+        dt = (time.perf_counter() - t0) / iters
+        print(f"[{name}] {dt*1e3:8.1f} ms/fwd (env={env})", flush=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                _os.environ.pop(k, None)
+            else:
+                _os.environ[k] = v
+
+
+def bench_decode_env(name, env, **kw):
+    import os as _os
+    saved = {k: _os.environ.get(k) for k in env}
+    for k, v in env.items():
+        _os.environ[k] = v
+    try:
+        bench_decode(name, **kw)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                _os.environ.pop(k, None)
+            else:
+                _os.environ[k] = v
+
+
+exp("dec_tconv_matmul")(lambda: bench_decode("dec_tconv_matmul", chunk=5))
+exp("dec_tconv_xla")(lambda: bench_decode_env(
+    "dec_tconv_xla", {"TVI_TEMPORAL_CONV": "xla"}, chunk=5))
+
+exp("fused_temporal_320")(lambda: bench_fused_temporal("fused_temporal_320"))
+exp("fused_temporal_640")(lambda: bench_fused_temporal(
+    "fused_temporal_640", r=4608, c=640))
+exp("fused_temporal_1280")(lambda: bench_fused_temporal(
+    "fused_temporal_1280", r=1152, c=1280))
+exp("unfused_temporal_320")(lambda: bench_unfused_temporal("unfused_temporal_320"))
+exp("unet_fwd")(lambda: bench_unet_fwd("unet_fwd"))
+exp("unet_fwd_rowshift")(lambda: bench_unet_fwd(
+    "unet_fwd_rowshift", env={"TVI_ATTN_SHIFT": "row"}))
+exp("unet_fwd_nofusedtemporal")(lambda: bench_unet_fwd(
+    "unet_fwd_nofusedtemporal", env={"TVI_DISABLE_FUSED_TEMPORAL": "1"}))
+
+GROUPS["round3"] = ["fused_temporal_320", "unfused_temporal_320",
+                    "fused_temporal_640", "fused_temporal_1280"]
+
+
 if __name__ == "__main__":
     main()

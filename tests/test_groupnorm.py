@@ -57,3 +57,49 @@ def test_module_param_structure_matches_nn_groupnorm():
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 8)))
     assert set(v["params"]) == {"scale", "bias"}
     assert v["params"]["scale"].shape == (8,)
+
+
+class TestTemporalConv311:
+    def test_matmul_form_matches_xla_conv(self):
+        """The frame-shifted-matmul formulation must equal nn.Conv's (3,1,1)
+        convolution bit-for-bit in fp32 (same contraction, same padding)."""
+        import os
+
+        import flax.linen as nn
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tvi.models.resnet import TemporalConv311
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 4, 6, 8))
+        m = TemporalConv311(12)
+        params = m.init(jax.random.PRNGKey(1), x)
+        ref = nn.Conv(12, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)))
+        ref_params = {"params": {"kernel": params["params"]["kernel"],
+                                 "bias": params["params"]["bias"]}}
+        expect = ref.apply(ref_params, x)
+
+        got = m.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                   atol=1e-5, rtol=1e-5)
+        os.environ["TVI_TEMPORAL_CONV"] = "xla"
+        try:
+            got_xla = m.apply(params, x)
+        finally:
+            del os.environ["TVI_TEMPORAL_CONV"]
+        np.testing.assert_allclose(np.asarray(got_xla), np.asarray(expect),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_param_tree_matches_nn_conv(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tvi.models.resnet import TemporalConv311
+
+        m = TemporalConv311(12)
+        params = m.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 3, 2, 2, 8)))["params"]
+        assert set(params.keys()) == {"kernel", "bias"}
+        assert params["kernel"].shape == (3, 1, 1, 8, 12)
+        assert params["bias"].shape == (12,)

@@ -209,3 +209,55 @@ class TestTemporalRowsKernel:
         assert not temporal_rows_eligible(18432, 100, 64)  # too many frames
         assert not temporal_rows_eligible(100, 25, 64)     # too few rows
         assert not temporal_rows_eligible(18432, 25, 40)  # ragged head dim
+
+
+class TestFusedTemporalSelfAttention:
+    @pytest.mark.parametrize("r,f,c,heads", [(300, 25, 128, 2), (512, 14, 256, 4)])
+    def test_parity_with_unfused(self, rng, r, f, c, heads):
+        from tvi.ops.pallas_fused_temporal import fused_temporal_self_attention
+
+        d = c // heads
+        ks = jax.random.split(rng, 6)
+        x = jax.random.normal(ks[0], (r, f, c))
+        wq = jax.random.normal(ks[1], (c, c)) * c ** -0.5
+        wk = jax.random.normal(ks[2], (c, c)) * c ** -0.5
+        wv = jax.random.normal(ks[3], (c, c)) * c ** -0.5
+        wo = jax.random.normal(ks[4], (c, c)) * c ** -0.5
+        bo = jax.random.normal(ks[5], (c,))
+        scale = d ** -0.5
+        out = fused_temporal_self_attention(x, wq, wk, wv, wo, bo,
+                                            heads=heads, scale=scale,
+                                            block_r=128, interpret=True)
+        q = (x @ wq).reshape(r, f, heads, d)
+        k = (x @ wk).reshape(r, f, heads, d)
+        v = (x @ wv).reshape(r, f, heads, d)
+        logits = jnp.einsum("rqhd,rkhd->rhqk", q, k) * scale
+        attn = jnp.einsum("rhqk,rkhd->rqhd", jax.nn.softmax(logits, -1), v)
+        expect = attn.reshape(r, f, c) @ wo + bo
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_attention_module_param_tree_unchanged(self, rng):
+        """The _DenseParams refactor must keep the exact nn.Dense param tree
+        (to_q/kernel etc.) AND the same init values (same RNG paths)."""
+        from tvi.models.layers import Attention
+
+        m = Attention(heads=2, dim_head=16)
+        x = jax.random.normal(jax.random.fold_in(rng, 1), (2, 8, 32))
+        params = m.init(rng, x)["params"]
+        assert set(params.keys()) == {"to_q", "to_k", "to_v", "to_out"}
+        assert set(params["to_q"].keys()) == {"kernel"}
+        assert set(params["to_out"].keys()) == {"kernel", "bias"}
+        assert params["to_q"]["kernel"].shape == (32, 32)
+
+    def test_eligibility(self):
+        from tvi.ops.pallas_fused_temporal import fused_temporal_eligible
+
+        # headline temporal self-attn shapes (R=B*H*W, F=25)
+        assert fused_temporal_eligible(18432, 25, 320, 320, 320, False)
+        assert fused_temporal_eligible(4608, 25, 640, 640, 640, False)
+        assert fused_temporal_eligible(1152, 25, 1280, 1280, 1280, False)
+        assert not fused_temporal_eligible(18432, 100, 320, 320, 320, False)  # big F
+        assert not fused_temporal_eligible(100, 25, 320, 320, 320, False)     # tiny R
+        assert not fused_temporal_eligible(18432, 25, 320, 320, 320, True)    # qkv bias
+        assert not fused_temporal_eligible(18432, 25, 320, 300, 320, False)   # ragged

@@ -205,6 +205,17 @@ class TestPipelineVariants:
                    TINY_CFG.replace(num_frames=frames, decode_chunk_size=None))
         assert out.shape == (1, frames, 32, 32, 3)
 
+    def test_frame_count_40_validation_geometry(self, pipe):
+        """The reference validates at model_lengths=[14, 40]
+        (src/train.py:741); 40 frames is the dynamic-frame-count hard case
+        (SURVEY §7.3.3) — the full pipeline program must compile and run at
+        F=40 with a ragged decode tail (40 % 16 != 0 chunks)."""
+        img = np.full((1, 32, 32, 3), 0.25, np.float32)
+        out = pipe(img, img, jax.random.PRNGKey(0),
+                   TINY_CFG.replace(num_frames=40, decode_chunk_size=16))
+        assert out.shape == (1, 40, 32, 32, 3)
+        assert np.isfinite(out).all()
+
     def test_temporal_attention_bias_changes_output(self, rng):
         # the linspace bias needs >= 2 DISTINCT temporal context tokens to
         # have any effect: with 1 key the softmax is bias-invariant, and

@@ -200,6 +200,26 @@ class TestControlNetTrainStep:
         assert state.ema is not None
 
 
+class TestValidationLengths:
+    def test_validation_renders_both_lengths(self, tmp_path):
+        """Validation renders one GIF PER length (reference
+        model_lengths=[14, 40], src/train.py:741); tiny CLI run with
+        --validation_lengths 3,5 must write both step GIFs."""
+        import os
+
+        from tvi.train.train_interp import main
+
+        out = tmp_path / "out"
+        main(["--tiny", "--synthetic_data", "--output_dir", str(out),
+              "--width", "32", "--height", "32", "--sample_n_frames", "4",
+              "--per_gpu_batch_size", "1", "--max_train_steps", "1",
+              "--validation_steps", "1", "--validation_lengths", "3,5",
+              "--checkpointing_steps", "100", "--topology", "acc_0"])
+        vdir = out / "validation"
+        gifs = sorted(os.listdir(vdir))
+        assert gifs == ["step_000001_f3.gif", "step_000001_f5.gif"]
+
+
 class TestCheckpointing:
     def test_save_rotate_resume(self, rng, tmp_path_factory):
         from tvi.io.orbax_ckpt import CheckpointManager

@@ -180,6 +180,25 @@ class AlphaBlender(nn.Module):
         return a * x_spatial + (1.0 - a) * x_temporal
 
 
+class _DenseParams(nn.Module):
+    """Owns a Dense layer's parameters (identical tree: kernel [+ bias])
+    without binding the matmul, so callers can either apply them inline or
+    hand them to a fused Pallas kernel."""
+
+    features: int
+    in_features: int
+    use_bias: bool
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Multi-head attention with separate q and kv inputs.
 
@@ -189,6 +208,11 @@ class Attention(nn.Module):
     residual connection (VAE mid attention).  ``bias``/``want_stats`` expose
     the temporal-bias-mask and attention-statistics features (see
     tvi.ops.attention).
+
+    Frame-axis self-attention (3-D input with a tiny middle dim — the
+    temporal blocks' (B*H*W, F, C) layout) dispatches on TPU to the fused
+    QKV+attention+out-projection kernel (tvi/ops/pallas_fused_temporal.py),
+    which keeps the whole sublayer's intermediates in VMEM.
     """
 
     heads: int
@@ -209,6 +233,14 @@ class Attention(nn.Module):
         bias: Optional[jax.Array] = None,
         want_stats: bool = False,
     ):
+        import os
+
+        from tvi.ops.attention import _flash_enabled
+        from tvi.ops.pallas_fused_temporal import (
+            fused_temporal_eligible,
+            fused_temporal_self_attention,
+        )
+
         residual = hidden_states
         if self.norm_num_groups is not None:
             hidden_states = FusedGroupNorm(
@@ -218,11 +250,38 @@ class Attention(nn.Module):
 
         context = hidden_states if encoder_hidden_states is None else encoder_hidden_states
         inner = self.heads * self.dim_head
-        dense = lambda n, d: nn.Dense(d, use_bias=self.qkv_bias, dtype=self.dtype,
-                                      param_dtype=self.param_dtype, name=n)
-        q = dense("to_q", inner)(hidden_states)
-        k = dense("to_k", inner)(context)
-        v = dense("to_v", inner)(context)
+        out_features = self.out_dim or residual.shape[-1]
+        dp = lambda n, i, o, use_b: _DenseParams(
+            features=o, in_features=i, use_bias=use_b,
+            param_dtype=self.param_dtype, name=n)()
+        wq, bq = dp("to_q", hidden_states.shape[-1], inner, self.qkv_bias)
+        wk, bk = dp("to_k", context.shape[-1], inner, self.qkv_bias)
+        wv, bv = dp("to_v", context.shape[-1], inner, self.qkv_bias)
+        wo, bo = dp("to_out", inner, out_features, True)
+        cast = lambda t: None if t is None else t.astype(self.dtype)
+        wq, bq, wk, bk, wv, bv, wo, bo = map(
+            cast, (wq, bq, wk, bk, wv, bv, wo, bo))
+        hidden_states = hidden_states.astype(self.dtype)
+        context = context.astype(self.dtype)
+
+        fused_ok = (
+            encoder_hidden_states is None and bias is None and not want_stats
+            and not self.residual_connection and self.norm_num_groups is None
+            and hidden_states.ndim == 3 and hidden_states.shape[1] <= 64
+            and _flash_enabled()
+            and not os.environ.get("TVI_DISABLE_FUSED_TEMPORAL")
+            and fused_temporal_eligible(
+                hidden_states.shape[0], hidden_states.shape[1],
+                hidden_states.shape[2], inner, out_features, self.qkv_bias))
+        if fused_ok:
+            return fused_temporal_self_attention(
+                hidden_states, wq, wk, wv, wo, bo,
+                heads=self.heads, scale=self.dim_head ** -0.5)
+
+        apply_dense = lambda x, w, b_: (x @ w if b_ is None else x @ w + b_)
+        q = apply_dense(hidden_states, wq, bq)
+        k = apply_dense(context, wk, bk)
+        v = apply_dense(context, wv, bv)
 
         b, sq = q.shape[0], q.shape[1]
         sk = k.shape[1]
@@ -236,9 +295,7 @@ class Attention(nn.Module):
             out, stats = out
         out = out.reshape(b, sq, inner)
 
-        out = nn.Dense(self.out_dim or residual.shape[-1], use_bias=True,
-                       dtype=self.dtype, param_dtype=self.param_dtype,
-                       name="to_out")(out)
+        out = out @ wo + bo
         if self.residual_connection:
             out = out + residual
         if want_stats:

@@ -20,6 +20,52 @@ from tvi.models.layers import AlphaBlender, FusedGroupNorm, gn_groups
 from tvi.utils.ablate import ablated
 
 
+class TemporalConv311(nn.Module):
+    """(3,1,1) conv over the frame axis of (B, F, H, W, C), computed as
+    three frame-shifted matmuls instead of a 3-D convolution.
+
+    XLA lowers a rank-5 (3,1,1) convolution on TPU through the generic conv
+    path; the same contraction expressed as   y_f = x_{f-1} W0 + x_f W1 +
+    x_{f+1} W2 + b   is three plain (N, C) x (C, Co) matmuls — pure MXU with
+    no window bookkeeping.  Parameter tree is identical to nn.Conv with
+    kernel (3,1,1) (kernel (3,1,1,C,Co) + bias), so torch conversion
+    (decoder time-conv keys) is unchanged.  Set TVI_TEMPORAL_CONV=xla to
+    fall back to nn.Conv's lowering for A/B.
+    """
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, F, H, W, C)
+        import os
+
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(), in_axis=-2, out_axis=-1),
+            (3, 1, 1, c, self.out_channels), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_channels,), self.param_dtype)
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        b_ = bias.astype(self.dtype)
+        if os.environ.get("TVI_TEMPORAL_CONV") == "xla":
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC"))
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1, 1), ((1, 1), (0, 0), (0, 0)), dimension_numbers=dn)
+            return y + b_
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        w0, w1, w2 = k[0, 0, 0], k[1, 0, 0], k[2, 0, 0]   # (C, Co) each
+        f = x.shape[1]
+        y = (jnp.einsum("bfhwc,co->bfhwo", xp[:, :f], w0)
+             + jnp.einsum("bfhwc,co->bfhwo", xp[:, 1:f + 1], w1)
+             + jnp.einsum("bfhwc,co->bfhwo", xp[:, 2:f + 2], w2))
+        return y + b_
+
+
 class ResnetBlock2D(nn.Module):
     """GN32 -> SiLU -> conv3x3 -> (+time emb) -> GN32 -> SiLU -> conv3x3,
     1x1 shortcut when channels change (diffusers ResnetBlock2D)."""
@@ -65,9 +111,8 @@ class TemporalResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
         in_channels = x.shape[-1]
-        conv3 = lambda n: nn.Conv(self.out_channels, (3, 1, 1),
-                                  padding=((1, 1), (0, 0), (0, 0)),
-                                  dtype=self.dtype, param_dtype=self.param_dtype, name=n)
+        conv3 = lambda n: TemporalConv311(self.out_channels, dtype=self.dtype,
+                                          param_dtype=self.param_dtype, name=n)
         h = FusedGroupNorm(num_groups=gn_groups(in_channels), epsilon=self.eps,
                            use_silu=True, dtype=self.dtype,
                            param_dtype=self.param_dtype, name="norm1")(x)

@@ -188,11 +188,13 @@ class TemporalDecoder(nn.Module):
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv_out")(x)
         # temporal smoothing conv over frames: (BF,H,W,C) -> (B,F,H,W,C)
+        from tvi.models.resnet import TemporalConv311
+
         bf, h, w, c = x.shape
         x = x.reshape(bf // num_frames, num_frames, h, w, c)
-        x = nn.Conv(cfg.out_channels, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
-                    dtype=self.dtype, param_dtype=self.param_dtype,
-                    name="time_conv_out")(x)
+        x = TemporalConv311(cfg.out_channels, dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            name="time_conv_out")(x)
         return x.reshape(bf, h, w, c)
 
 

@@ -1,0 +1,179 @@
+"""Fused QKV-projection + frame-attention + out-projection Pallas kernel.
+
+Why: round-1 profiling (PERF.md) proved the temporal self-attention's cost is
+NOT the attention core (the dedicated rows kernel runs 8.8 ms/call at the
+headline shape) but the HBM traffic *around* it: the q/k/v projections, the
+attention output, and the out-projection each round-trip the full
+(R=B*H*W, F, C) activation through HBM — ~10 tensor passes per temporal
+block.  This kernel holds one row-block of the activation in VMEM and runs
+
+    q,k,v = x @ Wq, x @ Wk, x @ Wv          (one MXU pass each)
+    o_h   = softmax(q_h k_h^T / sqrt(d)) v_h  per 64-wide head, logits in VMEM
+    out   = sum_h o_h @ Wo[h] + bo           (accumulated out-projection)
+
+in one pass: HBM traffic drops to read x + write out (+ the tiny weights,
+resident across the row grid).
+
+Replaces the unfused sequence in tvi/models/layers.py::Attention for the
+frame-axis self-attention of TemporalBasicTransformerBlock (the reference's
+diffusers TemporalBasicTransformerBlock self-attn, imported at reference
+src/models/transformer_temporal.py:22; attention math =
+AttnProcessor2_0, src/models/attention_processor.py:1178).
+
+Layout notes (Mosaic constraints, found the hard way):
+  - the in-kernel collapse (BR, F, C) -> (BR*F, C) for the projection
+    matmuls is only a supported shape cast when F is a multiple of the bf16
+    sublane tile (16) — Mosaic rejects 'vector<256x25x320> -> 6400x320'.
+    The wrapper therefore zero-pads frames to the next multiple of 16 and
+    the kernel masks the padded KEY frames out of the softmax (padded QUERY
+    frames produce finite garbage rows that the wrapper slices off).
+  - per-head lane slices are 64-wide (d_head=64 for every SVD temporal
+    layer); the out-projection is accumulated per head (o_h @ Wo-rows)
+    instead of concatenating heads, which keeps every intermediate
+    MXU-shaped and avoids lane-concat relayouts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SUBLANE = 16  # bf16 sublane tile; fp32 inputs also pad to this (8 | 16)
+
+
+def _pad_f(f: int) -> int:
+    return f + (-f) % _SUBLANE
+
+
+def _pick_block_r(f: int, c: int, c_out: int) -> int:
+    """Largest row block whose working set fits the VMEM budget."""
+    for block_r in (512, 256, 128, 64):
+        if _vmem_bytes(block_r, f, c, c_out) < 72 * 1024 * 1024:
+            return block_r
+    return 32
+
+
+def _vmem_bytes(block_r: int, f: int, c: int, c_out: int) -> int:
+    fp = _pad_f(f)
+    tile = block_r * fp * c * 2
+    qkv = 3 * tile
+    acc = block_r * fp * c_out * 4
+    out = block_r * fp * c_out * 2 * 2
+    weights = (3 * c * c + c * c_out) * 2
+    logits = block_r * fp * fp * 4
+    return 2 * tile + qkv + acc + out + weights + logits
+
+
+def _fused_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *,
+                  heads: int, scale: float, f_valid: int):
+    x = x_ref[:]                                   # (BR, Fp, C)
+    br, fp, c = x.shape
+    wq, wk, wv, wo = wq_ref[:], wk_ref[:], wv_ref[:], wo_ref[:]
+
+    x2 = x.reshape(br * fp, c)                     # sublane-aligned collapse
+    mm2 = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+    inner = wq.shape[-1]
+    q = mm2(x2, wq).astype(x.dtype).reshape(br, fp, inner)
+    k = mm2(x2, wk).astype(x.dtype).reshape(br, fp, inner)
+    v = mm2(x2, wv).astype(x.dtype).reshape(br, fp, inner)
+
+    d = inner // heads
+    acc = None
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh = q[:, :, sl], k[:, :, sl], v[:, :, sl]
+        logits = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT) * scale   # (BR, Fp, Fp)
+        if f_valid < fp:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
+            logits = jnp.where(col < f_valid, logits, -1e30)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            (p / l).astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)           # (BR, Fp, d) fp32
+        # accumulate the out-projection per head: oh @ Wo[h*d:(h+1)*d, :]
+        contrib = mm2(oh.astype(x.dtype).reshape(br * fp, d),
+                      wo[h * d:(h + 1) * d, :])            # (BR*Fp, C_out)
+        acc = contrib if acc is None else acc + contrib
+
+    acc = acc + bo_ref[:].astype(jnp.float32)[None, :]
+    o_ref[:] = acc.reshape(br, fp, wo.shape[-1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "block_r",
+                                             "interpret"))
+def fused_temporal_self_attention(x: jax.Array, wq: jax.Array, wk: jax.Array,
+                                  wv: jax.Array, wo: jax.Array, bo: jax.Array,
+                                  heads: int, scale: float,
+                                  block_r: int = 0,
+                                  interpret: bool = False) -> jax.Array:
+    """x: (R, F, C); wq/wk/wv: (C, inner); wo: (inner, C_out); bo: (C_out,).
+    Returns to_out(attention(x@Wq, x@Wk, x@Wv)) of shape (R, F, C_out).
+    Rows and frames are zero-padded to tile; padded keys are masked in the
+    kernel, padded query rows/frames sliced off here."""
+    r, f, c = x.shape
+    c_out = wo.shape[-1]
+    if not block_r:
+        block_r = _pick_block_r(f, c, c_out)
+    fp = _pad_f(f)
+    pad_r = (-r) % block_r
+    if pad_r or fp != f:
+        x = jnp.pad(x, ((0, pad_r), (0, fp - f), (0, 0)))
+    rp = x.shape[0]
+    grid = (rp // block_r,)
+    d = wq.shape[-1] // heads
+
+    w_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    kernel = functools.partial(_fused_kernel, heads=heads, scale=scale,
+                               f_valid=f)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_r, fp, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            w_spec(wq.shape), w_spec(wk.shape), w_spec(wv.shape),
+            w_spec(wo.shape), w_spec(bo.shape),
+        ],
+        out_specs=pl.BlockSpec((block_r, fp, c_out), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, fp, c_out), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024),
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * fp * c * (3 * wq.shape[-1] + c_out)
+            + 4 * rp * heads * fp * fp * d,
+            bytes_accessed=2 * rp * fp * (c + c_out) * 2,
+            transcendentals=rp * heads * fp * fp,
+        ),
+        interpret=interpret,
+    )(x, wq, wk, wv, wo, bo)
+    return out[:r, :f]
+
+
+def fused_temporal_eligible(r: int, f: int, c: int, inner: int, c_out: int,
+                            qkv_bias: bool) -> bool:
+    """Frame-axis self-attention shapes only: tiny F, 64-aligned heads,
+    enough rows to tile, VMEM fit."""
+    if qkv_bias or f > 64 or inner % 64 != 0 or r < 256:
+        return False
+    if c % 64 != 0 or c_out % 64 != 0:
+        return False
+    block_r = _pick_block_r(f, c, c_out)
+    return (block_r >= 64
+            and _vmem_bytes(block_r, f, c, c_out) < 72 * 1024 * 1024)

@@ -243,7 +243,7 @@ class InterpolationPipeline:
                     (b, cfg.num_frames) + frames.shape[2:])
         return (frames, attn_records) if collect_attn_stats else frames
 
-    # -------------------------------------------- analysis loop (unjitted)
+    # ---------------------------------------- analysis loop (jitted steps)
     def _denoise_with_stats(self, latents, image_latents, ctx, added_time_ids,
                             sigmas, timesteps, guidance, cn_cond,
                             do_cfg: bool, with_control: bool, num_steps: int,
@@ -251,8 +251,11 @@ class InterpolationPipeline:
                             track_state: Optional[dict] = None):
         """Python-stepped denoise that collects per-layer AttnStats each
         step — the functional replacement for the reference's CSV-dumping
-        attention monkey-patch (src/test.py:112-480).  Slower than the
-        fused loop by design; use only for analysis runs.
+        attention monkey-patch (src/test.py:112-480).  The loop stays in
+        Python (host-side SIFT re-tracking between steps needs the feature
+        maps on host), but each step is ONE jitted program (controlnet +
+        UNet + CFG + scheduler), cached per shape key, so analysis runs pay
+        a single device round-trip per step instead of eager dispatch.
 
         ``track_state`` enables ``sift_track_update`` (the missing ControlNet
         pipeline's flag, surface at src/test.py:605; RECONSTRUCTED semantics):
@@ -268,24 +271,16 @@ class InterpolationPipeline:
         guidance_b = guidance[None, :, None, None, None].astype(jnp.float32)
         lo = int(step_range[0] * num_steps)
         hi = int(step_range[1] * num_steps)
+        step_fn = self._stats_step_fn(latents.shape, do_cfg, with_control,
+                                      use_bias, isinstance(ctx, tuple))
         records = []
         for i in range(num_steps):
-            sigma, sigma_next, t = sigmas[i], sigmas[i + 1], timesteps[i]
-            x = jnp.concatenate([latents] * 2) if do_cfg else latents
-            x = self.scheduler.scale_model_input(x, sigma).astype(self.dtype)
-            x_in = jnp.concatenate([x, image_latents.astype(self.dtype)], axis=-1)
-            down_res = mid_res = None
-            if with_control:
-                scale_i = cond_scale if lo <= i < hi else 0.0
-                down_res, mid_res = self.controlnet.apply(
-                    self.controlnet_params, x_in, t, ctx, added_time_ids,
-                    cn_cond, scale_i)
-            (noise_pred, feats), state = self.unet.apply(
-                self.unet_params, x_in, t, ctx, added_time_ids,
-                down_block_residuals=down_res, mid_block_residual=mid_res,
-                use_temporal_attention_bias=use_bias, want_stats=True,
-                mutable=["intermediates"])
-            flat = traverse_util.flatten_dict(state["intermediates"], sep="/")
+            scale_i = jnp.float32(cond_scale if lo <= i < hi else 0.0)
+            latents, intermediates, last_feat = step_fn(
+                self.unet_params, self.controlnet_params, latents,
+                image_latents, ctx, added_time_ids, sigmas[i], sigmas[i + 1],
+                timesteps[i], guidance_b, cn_cond, scale_i)
+            flat = traverse_util.flatten_dict(intermediates, sep="/")
             records.append({
                 k.replace("/attn_stats", ""): tuple(np.asarray(s) for s in v[0])
                 for k, v in flat.items()})
@@ -294,15 +289,46 @@ class InterpolationPipeline:
                     and (i + 1) % track_state.get("interval", 5) == 0
                     and i + 1 < num_steps):
                 cn_cond = self._update_tracks_and_heatmaps(
-                    feats[-1], track_state, cn_cond, do_cfg)
+                    last_feat, track_state, cn_cond, do_cfg)
+        return latents, records
 
+    def _stats_step_fn(self, latents_shape, do_cfg: bool, with_control: bool,
+                       use_bias: bool, tuple_ctx: bool):
+        """One denoise step (controlnet + UNet w/ attention stats + CFG +
+        scheduler) as a single cached jitted program."""
+        key = ("stats_step", latents_shape, do_cfg, with_control, use_bias,
+               tuple_ctx)
+        fn = self._jit_cache_get(key)
+        if fn is not None:
+            return fn
+
+        @jax.jit
+        def step(unet_params, cn_params, latents, image_latents, ctx,
+                 added_time_ids, sigma, sigma_next, t, guidance_b, cn_cond,
+                 scale_i):
+            x = jnp.concatenate([latents] * 2) if do_cfg else latents
+            x = self.scheduler.scale_model_input(x, sigma).astype(self.dtype)
+            x_in = jnp.concatenate([x, image_latents.astype(self.dtype)], axis=-1)
+            down_res = mid_res = None
+            if with_control:
+                down_res, mid_res = self.controlnet.apply(
+                    cn_params, x_in, t, ctx, added_time_ids, cn_cond, scale_i)
+            (noise_pred, feats), state = self.unet.apply(
+                unet_params, x_in, t, ctx, added_time_ids,
+                down_block_residuals=down_res, mid_block_residual=mid_res,
+                use_temporal_attention_bias=use_bias, want_stats=True,
+                mutable=["intermediates"])
             noise_pred = noise_pred.astype(jnp.float32)
             if do_cfg:
                 uncond, cond = jnp.split(noise_pred, 2, axis=0)
                 noise_pred = uncond + guidance_b * (cond - uncond)
-            latents = self.scheduler.step(noise_pred, latents.astype(jnp.float32),
-                                          sigma, sigma_next).astype(latents.dtype)
-        return latents, records
+            new_latents = self.scheduler.step(
+                noise_pred, latents.astype(jnp.float32),
+                sigma, sigma_next).astype(latents.dtype)
+            return new_latents, state["intermediates"], feats[-1]
+
+        self._jit_cache_put(key, step)
+        return step
 
     def _update_tracks_and_heatmaps(self, feat, track_state: dict,
                                     cn_cond, do_cfg: bool):

@@ -65,7 +65,10 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     json.dump(vars(args), open(os.path.join(args.output_dir, "args.json"), "w"),
               indent=2)
-    dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
+    from tvi.core.precision import DEFAULT_POLICY, FP32_POLICY
+
+    policy = DEFAULT_POLICY if args.mixed_precision == "bf16" else FP32_POLICY
+    dtype = policy.compute_dtype
     n_dev = len(jax.devices())
     mesh = create_mesh(MeshSpec(data=n_dev))
     global_batch = args.per_gpu_batch_size * n_dev

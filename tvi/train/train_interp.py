@@ -66,6 +66,10 @@ def parse_args(argv=None):
     p.add_argument("--checkpointing_steps", type=int, default=50)
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
     p.add_argument("--validation_steps", type=int, default=1000)
+    p.add_argument("--validation_lengths", type=str, default="",
+                   help="comma-separated frame counts rendered at validation; "
+                        "default '<sample_n_frames>,40' (reference "
+                        "model_lengths=[14,40], src/train.py:741)")
     p.add_argument("--seed", type=int, default=23123134)
     p.add_argument("--mixed_precision", choices=["bf16", "fp32"], default="bf16")
     p.add_argument("--use_ema", action="store_true")
@@ -121,7 +125,10 @@ def main(argv=None):
     from tvi.parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed()
-    dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
+    from tvi.core.precision import DEFAULT_POLICY, FP32_POLICY
+
+    policy = DEFAULT_POLICY if args.mixed_precision == "bf16" else FP32_POLICY
+    dtype = policy.compute_dtype
     from tvi.parallel.topologies import get_mesh_spec
 
     mesh = create_mesh(get_mesh_spec(args.topology))
@@ -270,17 +277,27 @@ def main(argv=None):
             dtype=dtype)
         from tvi.core.config import PipelineConfig
 
-        vcfg = PipelineConfig(height=args.height, width=args.width,
-                              num_frames=args.sample_n_frames,
-                              num_inference_steps=8)
+        if args.validation_lengths:
+            lengths = [int(x) for x in args.validation_lengths.split(",") if x]
+        else:
+            # reference renders every validation video at BOTH 14 and 40
+            # frames (model_lengths = [14, 40], src/train.py:741) — the
+            # 40-frame geometry exercises the dynamic-frame-count path
+            lengths = sorted({args.sample_n_frames, 40})
         first01 = (np.asarray(val_batch["first"][:1]) + 1.0) / 2.0
         end01 = (np.asarray(val_batch["end"][:1]) + 1.0) / 2.0
-        frames = pipe(first01, end01, jax.random.PRNGKey(0), vcfg,
-                      do_motion_prompt=True)
         vdir = os.path.join(args.output_dir, "validation")
         os.makedirs(vdir, exist_ok=True)
-        save_gif(frames[0], os.path.join(vdir, f"step_{step_idx:06d}.gif"))
-        print(f"[train_interp] validation gif at step {step_idx}", flush=True)
+        for n_frames in lengths:
+            vcfg = PipelineConfig(height=args.height, width=args.width,
+                                  num_frames=n_frames,
+                                  num_inference_steps=8)
+            frames = pipe(first01, end01, jax.random.PRNGKey(0), vcfg,
+                          do_motion_prompt=True)
+            save_gif(frames[0], os.path.join(
+                vdir, f"step_{step_idx:06d}_f{n_frames}.gif"))
+        print(f"[train_interp] validation gifs ({lengths} frames) at step "
+              f"{step_idx}", flush=True)
 
     logger = MetricLogger(args.output_dir, project="flood_video_project",
                           use_wandb=args.report_to == "wandb")
