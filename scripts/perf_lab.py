@@ -575,6 +575,88 @@ exp("unet_fwd_rowshift")(lambda: bench_unet_fwd(
 exp("unet_fwd_nofusedtemporal")(lambda: bench_unet_fwd(
     "unet_fwd_nofusedtemporal", env={"TVI_DISABLE_FUSED_TEMPORAL": "1"}))
 
+def bench_gn_silu(name, shape=(5, 576, 1024, 128), groups=32, iters=10):
+    """Isolated fused GroupNorm+SiLU at the decode up3 tensor shape:
+    theoretical floor is 3 HBM passes (2 reads + 1 write) of the bf16
+    tensor."""
+    from tvi.ops.groupnorm import group_norm_silu
+
+    x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.bfloat16)
+    scale = jnp.ones((shape[-1],), jnp.float32)
+    bias = jnp.zeros((shape[-1],), jnp.float32)
+
+    @jax.jit
+    def run(x):
+        def body(i, cur):
+            y = group_norm_silu(cur, scale, bias, groups)
+            return (cur + 0.001 * y).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(x)
+    float(jnp.float32(out.ravel()[0]))
+    t0 = time.perf_counter()
+    out = run(x)
+    float(jnp.float32(out.ravel()[0]))
+    dt = (time.perf_counter() - t0) / iters
+    import numpy as _np
+    nbytes = _np.prod(shape) * 2
+    print(f"[{name}] {dt*1e3:8.2f} ms/iter  "
+          f"{3 * nbytes / dt / 1e9:6.0f} GB/s effective (3-pass model)",
+          flush=True)
+
+
+def bench_attn_chain(name, shift, s=9216, c=320, bf=50, iters=5):
+    """In-context spatial self-attention sublayer (LN omitted): QKV proj ->
+    dot_product_attention (flash dispatch incl. the (BF,S,H,D)->(BH,S,D)
+    transposes) -> out proj, at the exact UNet layer-0 shape."""
+    import os as _os
+    saved = _os.environ.get("TVI_ATTN_SHIFT")
+    _os.environ["TVI_ATTN_SHIFT"] = shift
+    try:
+        from tvi.ops.attention import dot_product_attention
+
+        heads, d = c // 64, 64
+        ks = jax.random.split(jax.random.PRNGKey(0), 5)
+        x = jax.random.normal(ks[0], (bf, s, c), jnp.bfloat16)
+        wq = jax.random.normal(ks[1], (c, c), jnp.bfloat16) * c ** -0.5
+        wk = jax.random.normal(ks[2], (c, c), jnp.bfloat16) * c ** -0.5
+        wv = jax.random.normal(ks[3], (c, c), jnp.bfloat16) * c ** -0.5
+        wo = jax.random.normal(ks[4], (c, c), jnp.bfloat16) * c ** -0.5
+
+        @jax.jit
+        def run(x, wq, wk, wv, wo):
+            def body(i, cur):
+                q = (cur @ wq).reshape(bf, s, heads, d)
+                k = (cur @ wk).reshape(bf, s, heads, d)
+                v = (cur @ wv).reshape(bf, s, heads, d)
+                o = dot_product_attention(q, k, v).reshape(bf, s, c)
+                return (cur + 0.01 * (o @ wo)).astype(cur.dtype)
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        out = run(x, wq, wk, wv, wo)
+        float(jnp.float32(out[0, 0, 0]))
+        t0 = time.perf_counter()
+        out = run(x, wq, wk, wv, wo)
+        float(jnp.float32(out[0, 0, 0]))
+        dt = (time.perf_counter() - t0) / iters
+        report(name, dt, 4 * bf * heads * s * s * d + 2 * bf * s * c * c * 4)
+    finally:
+        if saved is None:
+            _os.environ.pop("TVI_ATTN_SHIFT", None)
+        else:
+            _os.environ["TVI_ATTN_SHIFT"] = saved
+
+
+exp("gn_up3")(lambda: bench_gn_silu("gn_up3"))
+exp("attn_chain_row")(lambda: bench_attn_chain("attn_chain_row", "row"))
+exp("attn_chain_bound")(lambda: bench_attn_chain("attn_chain_bound", "bound"))
+exp("unet_fwd_nospatialattn")(lambda: bench_unet_fwd(
+    "unet_fwd_nospatialattn", env={"TVI_ABLATE": "spatial_attn"}))
+exp("unet_fwd_notemporalattn")(lambda: bench_unet_fwd(
+    "unet_fwd_notemporalattn", env={"TVI_ABLATE": "temporal_attn"}))
+exp("unet_fwd_notransformers")(lambda: bench_unet_fwd(
+    "unet_fwd_notransformers", env={"TVI_ABLATE": "transformers"}))
+
 GROUPS["round3"] = ["fused_temporal_320", "unfused_temporal_320",
                     "fused_temporal_640", "fused_temporal_1280"]
 

@@ -80,15 +80,15 @@ class TestTemporalConv311:
                                  "bias": params["params"]["bias"]}}
         expect = ref.apply(ref_params, x)
 
-        got = m.apply(params, x)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+        got_xla = m.apply(params, x)  # default path: XLA conv
+        np.testing.assert_allclose(np.asarray(got_xla), np.asarray(expect),
                                    atol=1e-5, rtol=1e-5)
-        os.environ["TVI_TEMPORAL_CONV"] = "xla"
+        os.environ["TVI_TEMPORAL_CONV"] = "matmul"
         try:
-            got_xla = m.apply(params, x)
+            got_mm = m.apply(params, x)
         finally:
             del os.environ["TVI_TEMPORAL_CONV"]
-        np.testing.assert_allclose(np.asarray(got_xla), np.asarray(expect),
+        np.testing.assert_allclose(np.asarray(got_mm), np.asarray(expect),
                                    atol=1e-5, rtol=1e-5)
 
     def test_param_tree_matches_nn_conv(self):

@@ -24,13 +24,13 @@ class TemporalConv311(nn.Module):
     """(3,1,1) conv over the frame axis of (B, F, H, W, C), computed as
     three frame-shifted matmuls instead of a 3-D convolution.
 
-    XLA lowers a rank-5 (3,1,1) convolution on TPU through the generic conv
-    path; the same contraction expressed as   y_f = x_{f-1} W0 + x_f W1 +
-    x_{f+1} W2 + b   is three plain (N, C) x (C, Co) matmuls — pure MXU with
-    no window bookkeeping.  Parameter tree is identical to nn.Conv with
-    kernel (3,1,1) (kernel (3,1,1,C,Co) + bias), so torch conversion
-    (decoder time-conv keys) is unchanged.  Set TVI_TEMPORAL_CONV=xla to
-    fall back to nn.Conv's lowering for A/B.
+    Measured (perf_lab dec_tconv_*): XLA's native (3,1,1) conv lowering WINS
+    — 2787 ms/decode vs 3256 ms for the frame-shifted-matmul form (the three
+    shifted views materialize extra intermediates).  The XLA conv is
+    therefore the default; TVI_TEMPORAL_CONV=matmul keeps the matmul form
+    for A/B.  Parameter tree is identical to nn.Conv with kernel (3,1,1)
+    (kernel (3,1,1,C,Co) + bias), so torch conversion (decoder time-conv
+    keys) is unchanged.
     """
 
     out_channels: int
@@ -51,7 +51,7 @@ class TemporalConv311(nn.Module):
         x = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
         b_ = bias.astype(self.dtype)
-        if os.environ.get("TVI_TEMPORAL_CONV") == "xla":
+        if os.environ.get("TVI_TEMPORAL_CONV", "xla") == "xla":
             dn = jax.lax.conv_dimension_numbers(
                 x.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC"))
             y = jax.lax.conv_general_dilated(
