@@ -647,6 +647,8 @@ def bench_attn_chain(name, shift, s=9216, c=320, bf=50, iters=5):
             _os.environ["TVI_ATTN_SHIFT"] = saved
 
 
+exp("attn_chain_boundnocond")(lambda: bench_attn_chain(
+    "attn_chain_boundnocond", "bound_unguarded"))
 exp("gn_up3")(lambda: bench_gn_silu("gn_up3"))
 exp("attn_chain_row")(lambda: bench_attn_chain("attn_chain_row", "row"))
 exp("attn_chain_bound")(lambda: bench_attn_chain("attn_chain_bound", "bound"))

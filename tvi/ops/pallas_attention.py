@@ -73,8 +73,9 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     'row' (classic row-max softmax).  Override via TVI_ATTN_SHIFT.
     """
     shift = shift or _default_shift()
+    bound_mode = shift in ("bound", "bound_unguarded")
     if not block_q:
-        block_q = BLOCK_Q_BOUND if shift == "bound" else BLOCK_Q
+        block_q = BLOCK_Q_BOUND if bound_mode else BLOCK_Q
     if q.shape[1] < block_q:
         block_q = BLOCK_Q  # short ragged seqs: don't pad past 128-blocks
     bh, sq_in, d = q.shape
@@ -119,7 +120,7 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                                    kv_valid=kv_valid)
         return pl.pallas_call(kernel, in_specs=qkv_specs, **common)(q, k, v)
 
-    if shift != "bound":
+    if not bound_mode:
         return call_row(q, k, v, None)[:, :sq_in]
 
     def call_bound(q, k, v, knorm):
@@ -136,6 +137,10 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     knorm = jnp.max(
         jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)),
         axis=-1)[:, None, None]                            # (BH, 1, 1)
+    if shift == "bound_unguarded":
+        # static bound path — no runtime fallback (A/B probe / opt-in when
+        # operand norms are known small)
+        return call_bound(q, k, v, knorm)[:, :sq_in]
     # Underflow guard: the Cauchy-Schwarz shift is loose by up to ~sqrt(D)
     # for near-orthogonal operands; a whole row of exp2 flushes to zero
     # (-> 0/0) once shift - row_max > ~126.  The worst-case slack proxy
