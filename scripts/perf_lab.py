@@ -395,6 +395,32 @@ exp("dec_chunk25")(lambda: bench_decode("dec_chunk25", chunk=25))
 exp("dec_nogn")(lambda: bench_decode("dec_nogn", chunk=5, no_gn=True))
 exp("dec_notemporal")(lambda: bench_decode("dec_notemporal", chunk=5,
                                            ablate="temporal_resnet"))
+def bench_matmul_int8(name, m, k, n, iters=ITERS):
+    """int8 x int8 -> int32 MXU ceiling probe (v5e nominal ~394 TOPS)."""
+    a = jax.random.randint(jax.random.PRNGKey(0), (m, k), -127, 127, jnp.int8)
+    b = jax.random.randint(jax.random.PRNGKey(1), (k, n), -127, 127, jnp.int8)
+
+    @jax.jit
+    def run(a, b):
+        def body(i, a):
+            c = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            return (a + (c[0, 0] % 3).astype(jnp.int8)).astype(jnp.int8)
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    out = run(a, b)
+    float(jnp.float32(out[0, 0]))
+    t0 = time.perf_counter()
+    out = run(a, b)
+    float(jnp.float32(out[0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * m * k * n)
+
+
+exp("mm_int8")(lambda: bench_matmul_int8("mm_int8 (8192,8192)x(8192,8192)",
+                                         8192, 8192, 8192))
+exp("mm_bf16_8k")(lambda: bench_matmul("mm_bf16 (8192,8192)x(8192,8192)",
+                                       8192, 8192, 8192))
 exp("mm_d64")(lambda: bench_matmul("mm_d64 (8192,64)x(64,8192)", 8192, 64, 8192))
 exp("mm_d128")(lambda: bench_matmul("mm_d128 (8192,128)x(128,8192)", 8192, 128, 8192))
 exp("mm_kbig_n64")(lambda: bench_matmul("mm_kbig_n64 (8192,8192)x(8192,64)",
@@ -574,6 +600,12 @@ exp("unet_fwd_rowshift")(lambda: bench_unet_fwd(
     "unet_fwd_rowshift", env={"TVI_ATTN_SHIFT": "row"}))
 exp("unet_fwd_nofusedtemporal")(lambda: bench_unet_fwd(
     "unet_fwd_nofusedtemporal", env={"TVI_DISABLE_FUSED_TEMPORAL": "1"}))
+exp("unet_fwd_boundnocond")(lambda: bench_unet_fwd(
+    "unet_fwd_boundnocond", env={"TVI_ATTN_SHIFT": "bound_unguarded"}))
+exp("unet_fwd_nofusedspatial")(lambda: bench_unet_fwd(
+    "unet_fwd_nofusedspatial", env={"TVI_DISABLE_FUSED_SPATIAL": "1"}))
+exp("unet_fwd_int8")(lambda: bench_unet_fwd(
+    "unet_fwd_int8", env={"TVI_SERVE_INT8": "1"}))
 
 def bench_gn_silu(name, shape=(5, 576, 1024, 128), groups=32, iters=10):
     """Isolated fused GroupNorm+SiLU at the decode up3 tensor shape:
@@ -647,9 +679,68 @@ def bench_attn_chain(name, shift, s=9216, c=320, bf=50, iters=5):
             _os.environ["TVI_ATTN_SHIFT"] = saved
 
 
+def with_env(env, fn, *args, **kw):
+    import os as _os
+    saved = {k: _os.environ.get(k) for k in env}
+    for k, v in env.items():
+        _os.environ[k] = v
+    try:
+        return fn(*args, **kw)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                _os.environ.pop(k, None)
+            else:
+                _os.environ[k] = v
+
+
 exp("attn_chain_boundnocond")(lambda: bench_attn_chain(
     "attn_chain_boundnocond", "bound_unguarded"))
-exp("gn_up3")(lambda: bench_gn_silu("gn_up3"))
+
+
+def bench_attn_chain_fused(name, s=9216, c=320, bf=50, iters=5,
+                           with_ln=True):
+    """The fused LN+QKV+flash+headmajor-outproj sublayer at the same
+    layer-0 shape as attn_chain_* (compare directly)."""
+    from tvi.ops.pallas_fused_spatial import fused_spatial_self_attention
+
+    heads, d = c // 64, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    x = jax.random.normal(ks[0], (bf, s, c), jnp.bfloat16)
+    lns = (jnp.ones((c,), jnp.float32) if with_ln else None)
+    lnb = (jnp.zeros((c,), jnp.float32) if with_ln else None)
+    wq = jax.random.normal(ks[1], (c, c), jnp.bfloat16) * c ** -0.5
+    wk = jax.random.normal(ks[2], (c, c), jnp.bfloat16) * c ** -0.5
+    wv = jax.random.normal(ks[3], (c, c), jnp.bfloat16) * c ** -0.5
+    wo = jax.random.normal(ks[4], (c, c), jnp.bfloat16) * c ** -0.5
+
+    @jax.jit
+    def run(x, wq, wk, wv, wo):
+        def body(i, cur):
+            o = fused_spatial_self_attention(cur, lns, lnb, wq, wk, wv,
+                                             heads=heads, scale=d ** -0.5)
+            out = jnp.einsum("bhsd,hdo->bso", o,
+                             wo.reshape(heads, d, c),
+                             preferred_element_type=jnp.float32)
+            return (cur + 0.01 * out.astype(cur.dtype)).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(x, wq, wk, wv, wo)
+    float(jnp.float32(out[0, 0, 0]))
+    t0 = time.perf_counter()
+    out = run(x, wq, wk, wv, wo)
+    float(jnp.float32(out[0, 0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 4 * bf * (c // 64) * s * s * 64 + 2 * bf * s * c * c * 4)
+
+
+exp("attn_chain_fusedspatial")(lambda: bench_attn_chain_fused(
+    "attn_chain_fusedspatial"))
+exp("gn_up3")(lambda: bench_gn_silu("gn_up3"))  # pallas path (default on TPU)
+exp("gn_up3_xla")(lambda: with_env({"TVI_DISABLE_PALLAS_GN": "1"},
+                                   bench_gn_silu, "gn_up3_xla"))
+exp("dec_gn_xla")(lambda: with_env({"TVI_DISABLE_PALLAS_GN": "1"},
+                                   bench_decode, "dec_gn_xla", chunk=5))
 exp("attn_chain_row")(lambda: bench_attn_chain("attn_chain_row", "row"))
 exp("attn_chain_bound")(lambda: bench_attn_chain("attn_chain_bound", "bound"))
 exp("unet_fwd_nospatialattn")(lambda: bench_unet_fwd(

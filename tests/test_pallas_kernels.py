@@ -122,6 +122,27 @@ class TestBoundShiftSoftmax:
         np.testing.assert_allclose(np.asarray(bound), np.asarray(row),
                                    atol=3e-5, rtol=3e-5)
 
+    def test_in_kernel_guard_recovers_underflow_tiles(self, rng):
+        """At magnitudes where the Cauchy-Schwarz shift drives every exp2 to
+        zero, the guarded kernel's per-tile row-max fallback must produce
+        the exact row-max result; the explicit unguarded variant degrades
+        (documents why 'bound' stays the default)."""
+        d, s, bh = 64, 256, 2
+        k1, k2, k3 = jax.random.split(rng, 3)
+        q = jax.random.normal(k1, (bh, s, d)) * 120.0
+        k = jax.random.normal(k2, (bh, s, d)) * 120.0
+        v = jax.random.normal(k3, (bh, s, d))
+        scale = d ** -0.5
+        row = flash_self_attention(q, k, v, scale, interpret=True, shift="row")
+        guarded = flash_self_attention(q, k, v, scale, interpret=True,
+                                       shift="bound")
+        assert bool(jnp.all(jnp.isfinite(guarded)))
+        np.testing.assert_allclose(np.asarray(guarded), np.asarray(row),
+                                   atol=3e-5, rtol=3e-5)
+        unguarded = flash_self_attention(q, k, v, scale, interpret=True,
+                                         shift="bound_unguarded")
+        assert not bool(jnp.all(jnp.isfinite(unguarded)))
+
     def test_bound_ragged_masking(self, rng):
         # padded keys produce p = 2^-shift (not -inf logits): the bound
         # kernel must still zero them

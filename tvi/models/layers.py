@@ -94,6 +94,45 @@ class TimestepEmbedding(nn.Module):
         return sample
 
 
+def serve_int8() -> bool:
+    """Opt-in W8A8 serving mode (TVI_SERVE_INT8=1, read at trace time):
+    transformer matmuls run int8 x int8 -> int32 on the MXU (~2x bf16 peak
+    on v5e).  Never used for training; the headline bench stays bf16 unless
+    explicitly requested.  See tvi/ops/quant.py for the numerics."""
+    import os
+
+    return bool(os.environ.get("TVI_SERVE_INT8"))
+
+
+class MaybeQuantDense(nn.Module):
+    """nn.Dense-compatible module ({kernel, bias} tree) that routes to the
+    W8A8 path under serving mode.  Weights quantize on the fly inside the
+    program (per-column scales; negligible next to activation traffic), so
+    checkpoints and the param tree are completely unchanged."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        x = x.astype(self.dtype)
+        if serve_int8():
+            from tvi.ops.quant import dense_w8a8, quantize_cols
+
+            wi, ws = quantize_cols(kernel)
+            return dense_w8a8(x, wi, ws, bias=bias, out_dtype=self.dtype)
+        y = x @ kernel.astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class _GegluProj(nn.Module):
     """GEGLU input projection with the same param layout as a Dense
     (kernel (K, 2N) + bias), dispatching to the fused Pallas kernel on TPU
@@ -121,10 +160,16 @@ class _GegluProj(nn.Module):
         from tvi.ops.attention import _flash_enabled
         from tvi.ops.pallas_geglu import geglu_eligible, geglu_project
 
-        if (_flash_enabled() and not os.environ.get("TVI_DISABLE_FUSED_GEGLU")
+        if serve_int8():
+            from tvi.ops.quant import dense_w8a8, quantize_cols
+
+            wi, ws = quantize_cols(kernel)
+            proj = dense_w8a8(x2d, wi, ws, bias=bias, out_dtype=self.dtype)
+        elif (_flash_enabled() and not os.environ.get("TVI_DISABLE_FUSED_GEGLU")
                 and geglu_eligible(x2d.shape[0], k, self.features)):
             return geglu_project(x2d, kernel, bias)
-        proj = x2d @ kernel + bias
+        else:
+            proj = x2d @ kernel + bias
         hidden, gate = jnp.split(proj, 2, axis=-1)
         return hidden * nn.gelu(gate, approximate=False)
 
@@ -147,8 +192,9 @@ class FeedForward(nn.Module):
                             param_dtype=self.param_dtype,
                             name="proj_geglu")(x.reshape(-1, dim))
         hidden = hidden.reshape(lead + (inner,))
-        return nn.Dense(self.dim_out or dim, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="proj_out")(hidden)
+        return MaybeQuantDense(self.dim_out or dim, dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="proj_out")(hidden)
 
 
 class AlphaBlender(nn.Module):
@@ -178,6 +224,36 @@ class AlphaBlender(nn.Module):
         if self.switch_spatial_to_temporal_mix:
             a = 1.0 - a
         return a * x_spatial + (1.0 - a) * x_temporal
+
+
+class LayerNormParams(nn.Module):
+    """Owns a LayerNorm's {scale, bias} (identical tree to nn.LayerNorm)
+    without binding the normalization, so the caller can either apply it
+    functionally or hand it to a fused Pallas kernel
+    (tvi/ops/pallas_fused_spatial.py)."""
+
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        return scale, bias
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+               eps: float = 1e-5) -> jax.Array:
+    """Functional LayerNorm over the last dim (fp32 stats and affine,
+    matching flax nn.LayerNorm use_fast_variance semantics)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 class _DenseParams(nn.Module):
@@ -232,10 +308,15 @@ class Attention(nn.Module):
         encoder_hidden_states: Optional[jax.Array] = None,  # (B, Sk, Ck)
         bias: Optional[jax.Array] = None,
         want_stats: bool = False,
+        pre_ln: Optional[Tuple[jax.Array, jax.Array]] = None,
     ):
         import os
 
         from tvi.ops.attention import _flash_enabled
+        from tvi.ops.pallas_fused_spatial import (
+            fused_spatial_eligible,
+            fused_spatial_self_attention,
+        )
         from tvi.ops.pallas_fused_temporal import (
             fused_temporal_eligible,
             fused_temporal_self_attention,
@@ -247,6 +328,22 @@ class Attention(nn.Module):
                 num_groups=self.norm_num_groups, epsilon=self.eps,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name="group_norm")(hidden_states)
+
+        inner_ = self.heads * self.dim_head
+        fused_spatial_ok = (
+            encoder_hidden_states is None and bias is None and not want_stats
+            and not self.residual_connection and self.norm_num_groups is None
+            and hidden_states.ndim == 3 and hidden_states.shape[1] > 64
+            and self.dim_head == 64 and _flash_enabled() and not serve_int8()
+            and not os.environ.get("TVI_DISABLE_FUSED_SPATIAL")
+            and fused_spatial_eligible(
+                hidden_states.shape[0], hidden_states.shape[1],
+                hidden_states.shape[2], self.heads, inner_, self.qkv_bias))
+
+        if pre_ln is not None and not fused_spatial_ok:
+            # the caller's LayerNorm (norm1) — applied functionally here;
+            # the fused path folds it into the kernels instead
+            hidden_states = layer_norm(hidden_states, pre_ln[0], pre_ln[1])
 
         context = hidden_states if encoder_hidden_states is None else encoder_hidden_states
         inner = self.heads * self.dim_head
@@ -267,6 +364,7 @@ class Attention(nn.Module):
         fused_ok = (
             encoder_hidden_states is None and bias is None and not want_stats
             and not self.residual_connection and self.norm_num_groups is None
+            and pre_ln is None and not serve_int8()
             and hidden_states.ndim == 3 and hidden_states.shape[1] <= 64
             and _flash_enabled()
             and not os.environ.get("TVI_DISABLE_FUSED_TEMPORAL")
@@ -278,7 +376,27 @@ class Attention(nn.Module):
                 hidden_states, wq, wk, wv, wo, bo,
                 heads=self.heads, scale=self.dim_head ** -0.5)
 
-        apply_dense = lambda x, w, b_: (x @ w if b_ is None else x @ w + b_)
+        if fused_spatial_ok:
+            # LN + QKV + flash fused; out-projection contracts the
+            # head-major output directly (no transpose op)
+            lns, lnb = pre_ln if pre_ln is not None else (None, None)
+            o_hm = fused_spatial_self_attention(
+                hidden_states, lns, lnb, wq, wk, wv,
+                heads=self.heads, scale=self.dim_head ** -0.5)
+            return jnp.einsum(
+                "bhsd,hdo->bso", o_hm,
+                wo.reshape(self.heads, self.dim_head, out_features),
+                preferred_element_type=jnp.float32,
+            ).astype(hidden_states.dtype) + bo
+
+        if serve_int8():
+            from tvi.ops.quant import dense_w8a8, quantize_cols
+
+            def apply_dense(x, w, b_):
+                wi, ws = quantize_cols(w)
+                return dense_w8a8(x, wi, ws, bias=b_, out_dtype=self.dtype)
+        else:
+            apply_dense = lambda x, w, b_: (x @ w if b_ is None else x @ w + b_)
         q = apply_dense(hidden_states, wq, bq)
         k = apply_dense(context, wk, bk)
         v = apply_dense(context, wv, bv)
@@ -295,7 +413,7 @@ class Attention(nn.Module):
             out, stats = out
         out = out.reshape(b, sq, inner)
 
-        out = out @ wo + bo
+        out = apply_dense(out, wo, bo)
         if self.residual_connection:
             out = out + residual
         if want_stats:

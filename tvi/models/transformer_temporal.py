@@ -57,7 +57,17 @@ class BasicTransformerBlock(nn.Module):
         attn = lambda n: Attention(heads=self.heads, dim_head=self.dim_head,
                                    dtype=self.dtype, param_dtype=self.param_dtype, name=n)
         if not ablated("spatial_attn"):
-            hidden_states = attn("attn1")(ln("norm1")(hidden_states)) + hidden_states
+            # norm1 is passed as raw params so the TPU path can fold the
+            # LayerNorm into the fused LN+QKV+flash kernels
+            # (tvi/ops/pallas_fused_spatial.py); the fallback applies it
+            # functionally with identical numerics.  Param tree unchanged.
+            from tvi.models.layers import LayerNormParams
+
+            norm1 = LayerNormParams(features=hidden_states.shape[-1],
+                                    param_dtype=self.param_dtype,
+                                    name="norm1")()
+            hidden_states = attn("attn1")(
+                hidden_states, pre_ln=norm1) + hidden_states
             if self.cross_attention:
                 hidden_states = attn("attn2")(
                     ln("norm2")(hidden_states), encoder_hidden_states) + hidden_states
@@ -162,9 +172,12 @@ class TransformerSpatioTemporalModel(nn.Module):
         hidden_states = FusedGroupNorm(num_groups=gn_groups(channels), epsilon=1e-6,
                                        dtype=self.dtype,
                                        param_dtype=self.param_dtype, name="norm")(hidden_states)
+        from tvi.models.layers import MaybeQuantDense
+
         hidden_states = hidden_states.reshape(bf, height * width, channels)
-        hidden_states = nn.Dense(inner_dim, dtype=self.dtype,
-                                 param_dtype=self.param_dtype, name="proj_in")(hidden_states)
+        hidden_states = MaybeQuantDense(inner_dim, dtype=self.dtype,
+                                        param_dtype=self.param_dtype,
+                                        name="proj_in")(hidden_states)
 
         # frame-position embedding (transformer_temporal.py:309-316)
         frame_ids = jnp.tile(jnp.arange(num_frames), batch_size)
@@ -209,7 +222,8 @@ class TransformerSpatioTemporalModel(nn.Module):
 
             hidden_states = mixer(hidden_states, mix)
 
-        hidden_states = nn.Dense(channels, dtype=self.dtype,
-                                 param_dtype=self.param_dtype, name="proj_out")(hidden_states)
+        hidden_states = MaybeQuantDense(channels, dtype=self.dtype,
+                                        param_dtype=self.param_dtype,
+                                        name="proj_out")(hidden_states)
         hidden_states = hidden_states.reshape(bf, height, width, channels)
         return hidden_states + residual

@@ -107,8 +107,19 @@ def dot_product_attention(
             def to_bh(x, s):
                 x = jnp.swapaxes(x, -2, -3)          # (..., H, S, D)
                 return x.reshape((-1, s, d))
-            kernel = flash_self_attention if resident else flash_self_attention_streamed
-            out = kernel(to_bh(q, sq), to_bh(k, sk), to_bh(v, sk), float(scale))
+            if resident:
+                # resolve the TVI_ATTN_SHIFT env knob HERE (call/trace time)
+                # and pass it as a static arg: flash_self_attention is a
+                # module-level jit, so an env read inside it would be baked
+                # into the first trace and silently reused by later calls
+                # with a different env (invalidates A/B switching).
+                from tvi.ops.pallas_attention import _default_shift
+                out = flash_self_attention(to_bh(q, sq), to_bh(k, sk),
+                                           to_bh(v, sk), float(scale),
+                                           shift=_default_shift())
+            else:
+                out = flash_self_attention_streamed(
+                    to_bh(q, sq), to_bh(k, sk), to_bh(v, sk), float(scale))
             out = out.reshape(batch + (h, sq, d))
             return jnp.swapaxes(out, -2, -3)
 

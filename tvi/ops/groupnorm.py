@@ -45,7 +45,27 @@ def group_norm_stats(x: jax.Array, num_groups: int):
 def group_norm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array,
                     num_groups: int, eps: float = 1e-5,
                     apply_silu: bool = True) -> jax.Array:
-    """Fused GroupNorm(+SiLU).  x: (N, ..., C); scale/bias: (C,)."""
+    """Fused GroupNorm(+SiLU).  x: (N, ..., C); scale/bias: (C,).
+
+    On TPU, lane-aligned shapes route to the streaming Pallas kernel pair
+    (tvi.ops.pallas_groupnorm) — the XLA formulation below lowers to only
+    ~323 GB/s effective; the Pallas pipeline streams at HBM bandwidth.
+    TVI_DISABLE_PALLAS_GN=1 (read at trace time) forces the XLA path.
+    """
+    import os
+
+    if (jax.default_backend() not in ("cpu",)
+            and not os.environ.get("TVI_DISABLE_PALLAS_GN")):
+        from tvi.ops.pallas_groupnorm import (
+            pallas_gn_eligible,
+            pallas_group_norm_silu,
+        )
+
+        bs = pallas_gn_eligible(x.shape, num_groups)
+        if bs:
+            return pallas_group_norm_silu(x, scale, bias, num_groups,
+                                          eps=eps, apply_silu=apply_silu,
+                                          block_rows=bs)
     n = x.shape[0]
     c = x.shape[-1]
     cg = c // num_groups

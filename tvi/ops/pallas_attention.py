@@ -125,7 +125,8 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     def call_bound(q, k, v, knorm):
         kernel = functools.partial(_flash_bound_kernel, scale=scale,
-                                   kv_valid=kv_valid)
+                                   kv_valid=kv_valid,
+                                   guarded=shift != "bound_unguarded")
         return pl.pallas_call(
             kernel,
             in_specs=qkv_specs + [
@@ -137,26 +138,15 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     knorm = jnp.max(
         jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)),
         axis=-1)[:, None, None]                            # (BH, 1, 1)
-    if shift == "bound_unguarded":
-        # static bound path — no runtime fallback (A/B probe / opt-in when
-        # operand norms are known small)
-        return call_bound(q, k, v, knorm)[:, :sq_in]
-    # Underflow guard: the Cauchy-Schwarz shift is loose by up to ~sqrt(D)
-    # for near-orthogonal operands; a whole row of exp2 flushes to zero
-    # (-> 0/0) once shift - row_max > ~126.  The worst-case slack proxy
-    # c * max_i||q_i|| * max_j||k_j|| is two cheap reductions; if it leaves
-    # less than a 2x exponent-budget margin, run the row-max kernel instead
-    # (scalar lax.cond — both kernels compile, one executes).
-    qnorm_max = jnp.max(jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)),
-                                         axis=-1)))
-    slack_proxy = qnorm_max * jnp.max(knorm) * (abs(scale) * LOG2E)
-    out = jax.lax.cond(slack_proxy < 63.0, call_bound, call_row,
-                       q, k, v, knorm)
-    return out[:, :sq_in]
+    # 'bound' is self-guarded IN-KERNEL (per-tile row-max fallback when the
+    # shift underflows — see _flash_bound_kernel); 'bound_unguarded' skips
+    # the in-kernel check.  The former wrapper-level lax.cond between two
+    # pallas_calls cost ~8 ms/layer even when never taken (PERF.md).
+    return call_bound(q, k, v, knorm)[:, :sq_in]
 
 
 def _flash_bound_kernel(q_ref, k_ref, v_ref, kn_ref, o_ref, *, scale: float,
-                        kv_valid: int):
+                        kv_valid: int, guarded: bool = True):
     """Softmax shifted by a PRE-COMPUTED per-row upper bound instead of the
     row max.
 
@@ -186,13 +176,34 @@ def _flash_bound_kernel(q_ref, k_ref, v_ref, kn_ref, o_ref, *, scale: float,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT) * c          # (BQ, Sk) in log2
+    masked = kv_valid < k.shape[0]
+    col = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+           if masked else None)
     p = jnp.exp2(logits - shift)
-    if kv_valid < k.shape[0]:
+    if masked:
         # ragged sequences arrive zero-padded; padded keys give logits 0 ->
         # p = 2^-shift, so zero them after the exp
-        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
         p = jnp.where(col < kv_valid, p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
+
+    if guarded:
+        # In-kernel underflow self-guard: the Cauchy-Schwarz shift is loose
+        # by up to ~sqrt(D) in log-space; if an entire row's exp2 flushed
+        # toward zero (l ~ 0, i.e. every p entry under ~2^-96), redo THIS
+        # TILE with the exact row-max shift.  A scalar cond on the tile's
+        # minimum denominator costs nothing in the common case — unlike the
+        # former wrapper-level lax.cond between two pallas_calls, which
+        # broke XLA pipelining for ~8 ms/layer even when never taken
+        # (PERF.md round-2 session 2).
+        def _rowmax(_):
+            lg = (jnp.where(col < kv_valid, logits, -jnp.inf)
+                  if masked else logits)
+            m = jnp.max(lg, axis=-1, keepdims=True)
+            p2 = jnp.exp2(lg - m)
+            return p2, jnp.sum(p2, axis=-1, keepdims=True)
+
+        p, l = jax.lax.cond(jnp.min(l) < 2.0 ** -96, _rowmax,
+                            lambda _: (p, l), None)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
