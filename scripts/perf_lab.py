@@ -602,8 +602,8 @@ exp("unet_fwd_nofusedtemporal")(lambda: bench_unet_fwd(
     "unet_fwd_nofusedtemporal", env={"TVI_DISABLE_FUSED_TEMPORAL": "1"}))
 exp("unet_fwd_boundnocond")(lambda: bench_unet_fwd(
     "unet_fwd_boundnocond", env={"TVI_ATTN_SHIFT": "bound_unguarded"}))
-exp("unet_fwd_nofusedspatial")(lambda: bench_unet_fwd(
-    "unet_fwd_nofusedspatial", env={"TVI_DISABLE_FUSED_SPATIAL": "1"}))
+exp("unet_fwd_fusedspatial")(lambda: bench_unet_fwd(
+    "unet_fwd_fusedspatial", env={"TVI_FUSED_SPATIAL": "1"}))
 exp("unet_fwd_int8")(lambda: bench_unet_fwd(
     "unet_fwd_int8", env={"TVI_SERVE_INT8": "1"}))
 
@@ -737,10 +737,11 @@ def bench_attn_chain_fused(name, s=9216, c=320, bf=50, iters=5,
 exp("attn_chain_fusedspatial")(lambda: bench_attn_chain_fused(
     "attn_chain_fusedspatial"))
 exp("gn_up3")(lambda: bench_gn_silu("gn_up3"))  # pallas path (default on TPU)
-exp("gn_up3_xla")(lambda: with_env({"TVI_DISABLE_PALLAS_GN": "1"},
-                                   bench_gn_silu, "gn_up3_xla"))
-exp("dec_gn_xla")(lambda: with_env({"TVI_DISABLE_PALLAS_GN": "1"},
-                                   bench_decode, "dec_gn_xla", chunk=5))
+exp("gn_up3_pallas")(lambda: with_env({"TVI_PALLAS_GN": "1"},
+                                      bench_gn_silu, "gn_up3_pallas"))
+exp("dec_gn_pallas")(lambda: with_env({"TVI_PALLAS_GN": "1"},
+                                      bench_decode, "dec_gn_pallas", chunk=5))
+exp("dec_chunk10")(lambda: bench_decode("dec_chunk10", chunk=10, frames=20))
 exp("attn_chain_row")(lambda: bench_attn_chain("attn_chain_row", "row"))
 exp("attn_chain_bound")(lambda: bench_attn_chain("attn_chain_bound", "bound"))
 exp("unet_fwd_nospatialattn")(lambda: bench_unet_fwd(

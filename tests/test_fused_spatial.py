@@ -119,6 +119,8 @@ def test_attention_module_routes_and_matches(rng):
         kw["interpret"] = True
         return orig(xx, lns, lnb, *a, **kw)
 
+    import os
+    os.environ["TVI_FUSED_SPATIAL"] = "1"
     attn_mod.set_flash_attention(True)
     pfs_orig = pfs.fused_spatial_self_attention
     pfs.fused_spatial_self_attention = spy
@@ -128,6 +130,7 @@ def test_attention_module_routes_and_matches(rng):
     finally:
         pfs.fused_spatial_self_attention = pfs_orig
         attn_mod.set_flash_attention(None)
+        os.environ.pop("TVI_FUSED_SPATIAL", None)
     assert calls, "fused spatial path was not taken"
     np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
                                atol=2e-4, rtol=2e-4)

@@ -335,7 +335,7 @@ class Attention(nn.Module):
             and not self.residual_connection and self.norm_num_groups is None
             and hidden_states.ndim == 3 and hidden_states.shape[1] > 64
             and self.dim_head == 64 and _flash_enabled() and not serve_int8()
-            and not os.environ.get("TVI_DISABLE_FUSED_SPATIAL")
+            and bool(os.environ.get("TVI_FUSED_SPATIAL"))
             and fused_spatial_eligible(
                 hidden_states.shape[0], hidden_states.shape[1],
                 hidden_states.shape[2], self.heads, inner_, self.qkv_bias))

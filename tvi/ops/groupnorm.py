@@ -47,15 +47,18 @@ def group_norm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array,
                     apply_silu: bool = True) -> jax.Array:
     """Fused GroupNorm(+SiLU).  x: (N, ..., C); scale/bias: (C,).
 
-    On TPU, lane-aligned shapes route to the streaming Pallas kernel pair
-    (tvi.ops.pallas_groupnorm) — the XLA formulation below lowers to only
-    ~323 GB/s effective; the Pallas pipeline streams at HBM bandwidth.
-    TVI_DISABLE_PALLAS_GN=1 (read at trace time) forces the XLA path.
+    The streaming Pallas kernel pair (tvi.ops.pallas_groupnorm) is OPT-IN
+    via TVI_PALLAS_GN=1 (read at trace time): despite the XLA formulation's
+    mediocre isolated bandwidth (~320 GB/s), the Pallas version REGRESSES
+    end-to-end (decode 3475 vs 2820 ms; the standalone kernel forces
+    materialization boundaries where XLA fuses the apply pass into
+    neighboring ops, and the kernel itself measured only ~180 GB/s —
+    PERF.md round-2 session 2 post-mortem).
     """
     import os
 
     if (jax.default_backend() not in ("cpu",)
-            and not os.environ.get("TVI_DISABLE_PALLAS_GN")):
+            and os.environ.get("TVI_PALLAS_GN")):
         from tvi.ops.pallas_groupnorm import (
             pallas_gn_eligible,
             pallas_group_norm_silu,
