@@ -67,7 +67,10 @@ def main():
     frames = int(os.environ.get("TVI_BENCH_FRAMES", 25))
     steps = int(os.environ.get("TVI_BENCH_STEPS", 25))
     repeats = int(os.environ.get("TVI_BENCH_REPEATS", 3))
-    decode_chunk = int(os.environ.get("TVI_BENCH_DECODE_CHUNK", 5))
+    # chunk 10 measured 79 ms/frame vs 113 at chunk 5 (bigger chunks feed
+    # the conv pipeline better; chunk 25 OOMs at 23 GB program HBM) —
+    # scripts/perf_lab.py dec_chunk10.  25 frames decode as 2x10 + tail 5.
+    decode_chunk = int(os.environ.get("TVI_BENCH_DECODE_CHUNK", 10))
 
     from tvi.core.config import UNetConfig, VAEConfig
     from tvi.diffusion.euler import EulerDiscreteScheduler
@@ -114,12 +117,18 @@ def main():
 
     @jax.jit
     def decode(vae_params, z):
-        zc = z.reshape(frames // decode_chunk, decode_chunk, h, w, 4) \
-            if frames % decode_chunk == 0 else z.reshape(1, frames, h, w, 4)
-        out = jax.lax.map(
-            lambda c: vae.apply(vae_params, c / vae_cfg.scaling_factor,
-                                c.shape[0], method=vae.decode), zc)
-        return out
+        dec = lambda c: vae.apply(vae_params, c / vae_cfg.scaling_factor,
+                                  c.shape[0], method=vae.decode)
+        n_full = (frames // decode_chunk) * decode_chunk
+        if 0 < n_full and decode_chunk < frames:
+            zc = z[:n_full].reshape(n_full // decode_chunk, decode_chunk,
+                                    h, w, 4)
+            out = jax.lax.map(dec, zc)
+            out = out.reshape((n_full,) + out.shape[2:])
+            if n_full < frames:  # ragged tail decoded as its own chunk
+                out = jnp.concatenate([out, dec(z[n_full:])], axis=0)
+            return out
+        return dec(z)
 
     decode_time = _timed(decode, vae_params,
                          latents[0].astype(jnp.bfloat16), repeats=1)

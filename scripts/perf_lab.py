@@ -419,6 +419,113 @@ def bench_matmul_int8(name, m, k, n, iters=ITERS):
 
 exp("mm_int8")(lambda: bench_matmul_int8("mm_int8 (8192,8192)x(8192,8192)",
                                          8192, 8192, 8192))
+exp("mm_bf16_16k")(lambda: bench_matmul("mm_bf16_16k (16k,16k)x(16k,16k)",
+                                        16384, 16384, 16384, iters=8))
+
+
+def bench_conv(name, n=5, h=576, w=1024, cin=128, cout=128, iters=10):
+    """XLA 3x3 conv ceiling probe at the decode up-block geometry."""
+    import flax.linen as nn
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, cin), jnp.bfloat16)
+    conv = nn.Conv(cout, (3, 3), padding=1, dtype=jnp.bfloat16,
+                   param_dtype=jnp.bfloat16)
+    params = conv.init(jax.random.PRNGKey(1), x)
+
+    @jax.jit
+    def run(params, x):
+        def body(i, cur):
+            y = conv.apply(params, cur)
+            return (cur + 0.001 * y).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(params, x)
+    float(jnp.float32(out.ravel()[0]))
+    t0 = time.perf_counter()
+    out = run(params, x)
+    float(jnp.float32(out.ravel()[0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * n * h * w * cin * cout * 9)
+
+
+exp("conv_up3")(lambda: bench_conv("conv_up3 (5,576,1024,128)x3x3"))
+exp("conv_up2")(lambda: bench_conv("conv_up2 (5,288,512,256)x3x3",
+                                   h=288, w=512, cin=256, cout=256))
+exp("conv_mid")(lambda: bench_conv("conv_mid (5,72,128,512)x3x3",
+                                   h=72, w=128, cin=512, cout=512))
+exp("conv_unet320")(lambda: bench_conv("conv_unet320 (50,72,128,320)x3x3",
+                                       n=50, h=72, w=128, cin=320, cout=320))
+
+
+def bench_attn_streamed(name, block_q=256, block_k=1024, iters=10):
+    from tvi.ops.pallas_attention import flash_self_attention_streamed
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (BH, S, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (BH, S, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (BH, S, D), jnp.bfloat16)
+
+    @jax.jit
+    def run(q, k, v):
+        def body(i, cur):
+            o = flash_self_attention_streamed(cur, k, v, D ** -0.5,
+                                              block_q=block_q,
+                                              block_k=block_k)
+            return (cur + 0.001 * o).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, q)
+
+    out = run(q, k, v)
+    float(jnp.float32(out[0, 0, 0]))
+    t0 = time.perf_counter()
+    out = run(q, k, v)
+    float(jnp.float32(out[0, 0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 4 * BH * S * S * D)
+
+
+def bench_conv_pallas(name, n=5, h=576, w=1024, cin=128, cout=128, iters=10):
+    from tvi.ops.pallas_conv import conv3x3_pallas
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, cin), jnp.bfloat16)
+    wt = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout),
+                           jnp.bfloat16) * 0.05
+    b = jnp.zeros((cout,), jnp.bfloat16)
+
+    @jax.jit
+    def run(x, wt, b):
+        def body(i, cur):
+            y = conv3x3_pallas(cur, wt, b)
+            return (cur + 0.001 * y).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(x, wt, b)
+    float(jnp.float32(out.ravel()[0]))
+    t0 = time.perf_counter()
+    out = run(x, wt, b)
+    float(jnp.float32(out.ravel()[0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * n * h * w * cin * cout * 9)
+
+
+exp("pconv_up3")(lambda: bench_conv_pallas("pconv_up3 (5,576,1024,128)"))
+exp("pconv_up2")(lambda: bench_conv_pallas("pconv_up2 (5,288,512,256)",
+                                           h=288, w=512, cin=256, cout=256))
+exp("pconv_mid")(lambda: bench_conv_pallas("pconv_mid (5,72,128,512)",
+                                           h=72, w=128, cin=512, cout=512))
+exp("pconv_unet320")(lambda: bench_conv_pallas(
+    "pconv_unet320 (50,72,128,320)", n=50, h=72, w=128, cin=320, cout=320))
+exp("dec_pconv")(lambda: bench_decode_env(
+    "dec_pconv", {"TVI_PALLAS_CONV": "1"}, chunk=5))
+exp("dec_pconv10")(lambda: bench_decode_env(
+    "dec_pconv10", {"TVI_PALLAS_CONV": "1"}, chunk=10, frames=20))
+exp("unet_fwd_pconv")(lambda: bench_unet_fwd(
+    "unet_fwd_pconv", env={"TVI_PALLAS_CONV": "1"}))
+
+
+exp("attn_streamed")(lambda: bench_attn_streamed("attn_streamed"))
+exp("attn_streamed_bq512")(lambda: bench_attn_streamed("attn_streamed_bq512",
+                                                       block_q=512))
+exp("attn_bound_bq512")(lambda: bench_attention_qkbound("attn_bound_bq512",
+                                                        block_q=512))
 exp("mm_bf16_8k")(lambda: bench_matmul("mm_bf16 (8192,8192)x(8192,8192)",
                                        8192, 8192, 8192))
 exp("mm_d64")(lambda: bench_matmul("mm_d64 (8192,64)x(64,8192)", 8192, 64, 8192))
@@ -606,6 +713,8 @@ exp("unet_fwd_fusedspatial")(lambda: bench_unet_fwd(
     "unet_fwd_fusedspatial", env={"TVI_FUSED_SPATIAL": "1"}))
 exp("unet_fwd_int8")(lambda: bench_unet_fwd(
     "unet_fwd_int8", env={"TVI_SERVE_INT8": "1"}))
+exp("unet_fwd_nogeglu")(lambda: bench_unet_fwd(
+    "unet_fwd_nogeglu", env={"TVI_DISABLE_FUSED_GEGLU": "1"}))
 
 def bench_gn_silu(name, shape=(5, 576, 1024, 128), groups=32, iters=10):
     """Isolated fused GroupNorm+SiLU at the decode up3 tensor shape:

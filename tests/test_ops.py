@@ -43,6 +43,24 @@ class TestAttention:
         np.testing.assert_allclose(stats.first, logits[..., :1].mean(axis=(0, 1, 3)), atol=1e-5)
         np.testing.assert_allclose(stats.end, logits[..., 1:].mean(axis=(0, 1, 3)), atol=1e-5)
 
+    def test_biased_stats_show_conditioning_direction(self, rng):
+        """The reference's de-facto eval signature (SURVEY §4.3): with the
+        linspace temporal bias enabled, the per-frame first-image similarity
+        must FALL across frames while the end-image similarity RISES — the
+        unet_cross_anal.csv trend the reference eyeballs (src/test.py:370-403
+        CSVs from the patched attention)."""
+        f, sk = 8, 2
+        q = jax.random.normal(rng, (2, f, 2, 8)) * 0.01
+        k = jax.random.normal(jax.random.fold_in(rng, 1), (2, sk, 2, 8)) * 0.01
+        v = jnp.zeros((2, sk, 2, 8))
+        bias = temporal_bias_mask(f, sk)
+        _, stats = dot_product_attention(q, k, v, bias=bias, want_stats=True)
+        first = np.asarray(stats.first)
+        end = np.asarray(stats.end)
+        assert np.all(np.diff(first) < 0), first
+        assert np.all(np.diff(end) > 0), end
+        np.testing.assert_allclose(first + end, np.ones(f), atol=0.05)
+
     def test_temporal_bias_mask(self):
         # reference build_temporal_attention_mask: stack([1-w, w], axis=1)
         m = temporal_bias_mask(5, 2)

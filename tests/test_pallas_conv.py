@@ -1,0 +1,83 @@
+"""Pallas nine-matmul 3x3 conv vs lax.conv (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvi.ops.pallas_conv import conv3x3_eligible, conv3x3_pallas
+
+
+@pytest.fixture
+def rng():
+    return jax.random.PRNGKey(0)
+
+
+def _ref(x, w, b):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+
+@pytest.mark.parametrize("n,h,w,c,co,bh", [
+    (2, 16, 32, 8, 12, 0),     # default block
+    (1, 24, 16, 4, 4, 8),      # multi-block rows, explicit bh
+    (1, 10, 16, 4, 4, 8),      # H not a multiple of the block (pad+slice)
+    (2, 8, 48, 6, 10, 0),
+])
+def test_matches_lax_conv(rng, n, h, w, c, co, bh):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    x = jax.random.normal(k1, (n, h, w, c))
+    wt = jax.random.normal(k2, (3, 3, c, co)) * 0.2
+    b = jax.random.normal(k3, (co,))
+    want = _ref(x, wt, b)
+    got = conv3x3_pallas(x, wt, b, block_rows=bh, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_silu(rng):
+    x = jax.random.normal(rng, (1, 16, 16, 8))
+    wt = jax.random.normal(jax.random.fold_in(rng, 1), (3, 3, 8, 8)) * 0.2
+    b = jnp.zeros((8,))
+    want = jax.nn.silu(_ref(x, wt, b))
+    got = conv3x3_pallas(x, wt, b, apply_silu=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_bf16_io(rng):
+    x = jax.random.normal(rng, (1, 16, 32, 8), jnp.bfloat16)
+    wt = (jax.random.normal(jax.random.fold_in(rng, 1), (3, 3, 8, 8))
+          * 0.2).astype(jnp.bfloat16)
+    b = jnp.zeros((8,), jnp.bfloat16)
+    got = conv3x3_pallas(x, wt, b, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    want = _ref(x.astype(jnp.float32), wt.astype(jnp.float32),
+                b.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               atol=0.1, rtol=0.1)
+
+
+def test_eligibility_gates():
+    assert conv3x3_eligible((5, 576, 1024, 128), 128)
+    assert conv3x3_eligible((5, 72, 128, 512), 512)
+    assert not conv3x3_eligible((5, 72, 9, 128), 128)    # W % 16
+    assert not conv3x3_eligible((2, 4, 16, 8), 8)        # H too small
+
+
+def test_module_tree_and_fallback_match_nn_conv(rng):
+    import flax.linen as nn
+
+    from tvi.models.layers import PallasConv3x3
+
+    x = jax.random.normal(rng, (2, 12, 16, 6))
+    m = PallasConv3x3(10)
+    v = m.init(jax.random.PRNGKey(1), x)
+    assert set(v["params"]) == {"kernel", "bias"}
+    assert v["params"]["kernel"].shape == (3, 3, 6, 10)
+    want = nn.Conv(10, (3, 3), padding=1).apply(
+        {"params": dict(v["params"])}, x)
+    np.testing.assert_allclose(np.asarray(m.apply(v, x)), np.asarray(want),
+                               atol=1e-6)

@@ -242,6 +242,11 @@ class PipelineConfig(_ConfigBase):
     fps: int = 7
     motion_bucket_id: int = 127
     noise_aug_strength: float = 0.02
+    # None -> decode all frames in one chunk (the reference's
+    # decode_chunk_size default, pipeline:282-308).  TPU note: chunk ~10
+    # measured 30% faster per frame than chunk 5 at 1024x576 (bigger chunks
+    # feed the conv pipeline; full 25f chunks OOM at 23 GB) — callers that
+    # decode long videos at high res should pass ~10.
     decode_chunk_size: Optional[int] = None
     # conditioning assembly: 'interp' = the fork's 9-channel
     # [first, mask_token*, end] + mask channel (train.py:546-557);

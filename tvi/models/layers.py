@@ -226,6 +226,47 @@ class AlphaBlender(nn.Module):
         return a * x_spatial + (1.0 - a) * x_temporal
 
 
+class PallasConv3x3(nn.Module):
+    """nn.Conv(features, (3,3), padding=1)-compatible module ({kernel,
+    bias} tree, same shapes) that routes to the Pallas nine-matmul conv
+    (tvi/ops/pallas_conv.py) under TVI_PALLAS_CONV=1 on TPU.  XLA's conv
+    lowering measures only 43-78 TFLOP/s at every shape in this model on a
+    chip sustaining ~1300 on matmuls (scripts/perf_lab.py conv_*); the
+    Pallas path feeds the MXU with VMEM-resident shifted windows."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if (jax.default_backend() not in ("cpu",)
+                and os.environ.get("TVI_PALLAS_CONV")):
+            from tvi.ops.pallas_conv import conv3x3_eligible, conv3x3_pallas
+
+            lead = x.shape[:-3]
+            x4 = x.reshape((-1,) + x.shape[-3:])
+            if conv3x3_eligible(x4.shape, self.features):
+                out = conv3x3_pallas(x4, kernel, bias)
+                return out.reshape(lead + out.shape[1:])
+        return jax.lax.conv_general_dilated(
+            x.reshape((-1,) + x.shape[-3:]), kernel,
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        ).reshape(x.shape[:-1] + (self.features,)) + bias
+
+
 class LayerNormParams(nn.Module):
     """Owns a LayerNorm's {scale, bias} (identical tree to nn.LayerNorm)
     without binding the normalization, so the caller can either apply it

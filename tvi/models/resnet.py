@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tvi.models.layers import AlphaBlender, FusedGroupNorm, gn_groups
+from tvi.models.layers import AlphaBlender, FusedGroupNorm, PallasConv3x3, gn_groups
 from tvi.utils.ablate import ablated
 
 
@@ -81,8 +81,8 @@ class ResnetBlock2D(nn.Module):
         h = FusedGroupNorm(num_groups=gn_groups(in_channels), epsilon=self.eps,
                            use_silu=True, dtype=self.dtype,
                            param_dtype=self.param_dtype, name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv1")(h)
+        h = PallasConv3x3(self.out_channels, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="conv1")(h)
         if temb is not None:
             temb_proj = nn.Dense(self.out_channels, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
@@ -91,8 +91,8 @@ class ResnetBlock2D(nn.Module):
         h = FusedGroupNorm(num_groups=gn_groups(self.out_channels), epsilon=self.eps,
                            use_silu=True, dtype=self.dtype,
                            param_dtype=self.param_dtype, name="norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv2")(h)
+        h = PallasConv3x3(self.out_channels, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         param_dtype=self.param_dtype, name="conv_shortcut")(x)
@@ -193,5 +193,5 @@ class Upsample2D(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                       param_dtype=self.param_dtype, name="conv")(x)
+        return PallasConv3x3(self.out_channels, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="conv")(x)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from tvi.core.config import VAEConfig
-from tvi.models.layers import Attention, FusedGroupNorm, gn_groups
+from tvi.models.layers import Attention, FusedGroupNorm, PallasConv3x3, gn_groups
 from tvi.models.resnet import ResnetBlock2D, SpatioTemporalResBlock, Upsample2D
 
 
@@ -93,8 +93,8 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # (N, H, W, 3) -> (N, h, w, 8)
         cfg = self.config
-        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv_in")(x)
+        x = PallasConv3x3(cfg.block_out_channels[0], dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="conv_in")(x)
         for i, ch in enumerate(cfg.block_out_channels):
             x = DownEncoderBlock2D(
                 ch, num_layers=cfg.layers_per_block,
@@ -106,8 +106,8 @@ class Encoder(nn.Module):
         x = FusedGroupNorm(num_groups=gn_groups(cfg.block_out_channels[-1]),
                            epsilon=1e-6, use_silu=True, dtype=self.dtype,
                            param_dtype=self.param_dtype, name="conv_norm_out")(x)
-        x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv_out")(x)
+        x = PallasConv3x3(2 * cfg.latent_channels, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="conv_out")(x)
         return x
 
 
@@ -171,8 +171,8 @@ class TemporalDecoder(nn.Module):
     @nn.compact
     def __call__(self, z: jax.Array, num_frames: int) -> jax.Array:
         cfg = self.config
-        x = nn.Conv(cfg.block_out_channels[-1], (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv_in")(z)
+        x = PallasConv3x3(cfg.block_out_channels[-1], dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="conv_in")(z)
         x = MidBlockTemporalDecoder(cfg.block_out_channels[-1], dtype=self.dtype,
                                     param_dtype=self.param_dtype,
                                     name="mid_block")(x, num_frames)
@@ -185,8 +185,8 @@ class TemporalDecoder(nn.Module):
         x = FusedGroupNorm(num_groups=gn_groups(cfg.block_out_channels[0]),
                            epsilon=1e-6, use_silu=True, dtype=self.dtype,
                            param_dtype=self.param_dtype, name="conv_norm_out")(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv_out")(x)
+        x = PallasConv3x3(cfg.out_channels, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="conv_out")(x)
         # temporal smoothing conv over frames: (BF,H,W,C) -> (B,F,H,W,C)
         from tvi.models.resnet import TemporalConv311
 

@@ -1,0 +1,139 @@
+"""Pallas TPU 3x3 convolution (stride 1, SAME) as nine chained MXU matmuls.
+
+Why: direct roofline probes (scripts/perf_lab.py conv_*, mm_bf16_16k) show
+XLA's conv lowering reaching only 43-78 TFLOP/s at every conv shape in this
+model, on a chip that sustains ~1300 TFLOP/s on large matmuls — and convs
+are ~60% of the pipeline's FLOPs (UNet resnets ~56T/step, VAE decode
+~166T).  A 3x3 SAME conv is exactly nine shifted (rows, C) x (C, Co)
+matmuls accumulated in fp32 — MXU-native work if the shifted windows come
+from VMEM instead of nine HBM passes.
+
+Kernel design:
+  - input pre-padded by 1 in H and W (plus H rounded up to the row-block);
+    grid (N, Hpad/BH).
+  - overlapping halo reads via the two-adjacent-blocks trick: the same
+    padded array is passed twice with block index maps h and h+1, giving
+    the kernel rows [h*BH, h*BH + 2*BH) of which it needs BH+2 — plain
+    BlockSpecs cannot express overlapping windows, two offset views can.
+  - the three column shifts (dc = 0,1,2) are materialized ONCE per program
+    as sublane-sliced copies; the three row shifts are free major-dim
+    slices of those.  Nine dot_generals accumulate into an fp32 (BH*W, Co)
+    register tile; bias (+ optional fused SiLU) in the epilogue.
+
+Replaces (behind TVI_PALLAS_CONV=1, via tvi.models.layers.PallasConv3x3)
+the reference's torch Conv2d(3,3,pad=1) sites: diffusers ResnetBlock2D
+conv1/conv2 and the VAE decoder convs (reference src/models/ stacks).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TARGET_ROWS = 8192  # target BH*W rows per program's matmul
+
+
+def _conv_kernel(xa_ref, xb_ref, w_ref, b_ref, o_ref, *, bh: int, w: int,
+                 apply_silu: bool):
+    # xa/xb: consecutive (1, BH, W+2, C) blocks of the padded input;
+    # rows [0, BH+2) of their concatenation cover the halo window.
+    xa = xa_ref[0]
+    xb = xb_ref[0]
+    window = jnp.concatenate([xa, xb[:2]], axis=0)     # (BH+2, W+2, C)
+    c = window.shape[-1]
+    co = w_ref.shape[-1]
+    # three column shifts once (sublane-dim slices -> copies), row shifts
+    # are free major-dim slices of these
+    cols = [window[:, dc:dc + w] for dc in range(3)]   # (BH+2, W, C) x3
+
+    acc = None
+    for dr in range(3):
+        for dc in range(3):
+            a = cols[dc][dr:dr + bh].reshape(bh * w, c)
+            part = jax.lax.dot_general(
+                a, w_ref[dr * 3 + dc], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            acc = part if acc is None else acc + part
+    acc = acc + b_ref[0].astype(jnp.float32)
+    if apply_silu:
+        acc = acc * jax.nn.sigmoid(acc)
+    o_ref[0] = acc.reshape(bh, w, co).astype(o_ref.dtype)
+
+
+def _pick_block_rows(h: int, w: int) -> int:
+    """Row-block: ~_TARGET_ROWS matmul rows, multiple of 8, dividing the
+    padded H (we control the padding, so just round h up later)."""
+    bh = max(8, min(h, _TARGET_ROWS // max(w, 1)))
+    return max(8, (bh // 8) * 8)
+
+
+def conv3x3_eligible(shape, c_out: int) -> bool:
+    n, h, w, c = shape
+    if w % 16 or w < 16 or h < 8:
+        return False  # (BH, W, C) -> (BH*W, C) collapse needs W % sublane
+    # resident weights + fp32 accumulator + blocks within VMEM budget
+    bh = _pick_block_rows(h, w)
+    vmem = (9 * c * c_out * 2            # weights
+            + 2 * bh * (w + 2) * c * 2   # two input blocks
+            + 3 * (bh + 2) * w * c * 2   # column-shift copies
+            + bh * w * c_out * 4         # accumulator
+            + bh * w * c_out * 2)        # output block
+    return vmem < 96 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("apply_silu", "block_rows",
+                                             "interpret"))
+def conv3x3_pallas(x: jax.Array, w: jax.Array, b: jax.Array,
+                   apply_silu: bool = False, block_rows: int = 0,
+                   interpret: bool = False) -> jax.Array:
+    """x: (N, H, W, C); w: (3, 3, C, Co) (flax nn.Conv layout); b: (Co,).
+    Returns SAME-padded stride-1 conv, optionally with fused SiLU."""
+    n, h, wdt, c = x.shape
+    co = w.shape[-1]
+    bh = block_rows or _pick_block_rows(h, wdt)
+    hpad = ((h + bh - 1) // bh) * bh
+    # pad: +1 halo top / +1 halo bottom plus round-up rows, +1 halo left /
+    # right; one extra BH block of rows so the "h+1" view stays in bounds
+    xp = jnp.pad(x, ((0, 0), (1, hpad - h + 1 + bh), (1, 1), (0, 0)))
+    wz = w.reshape(9, c, co)
+    bz = b.reshape(1, co)
+    grid = (n, hpad // bh)
+
+    in_block = pl.BlockSpec((1, bh, wdt + 2, c),
+                            lambda nn_, hh: (nn_, hh, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_block_next = pl.BlockSpec((1, bh, wdt + 2, c),
+                                 lambda nn_, hh: (nn_, hh + 1, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel, bh=bh, w=wdt, apply_silu=apply_silu),
+        grid=grid,
+        in_specs=[
+            in_block, in_block_next,
+            pl.BlockSpec((9, c, co), lambda nn_, hh: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda nn_, hh: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, wdt, co),
+                               lambda nn_, hh: (nn_, hh, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hpad, wdt, co), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=int(110 * 1024 * 1024),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * hpad * wdt * c * co * 9,
+            bytes_accessed=(2 * n * hpad * wdt * c
+                            + n * hpad * wdt * co) * 2,
+            transcendentals=n * hpad * wdt * co if apply_silu else 0,
+        ),
+        interpret=interpret,
+    )(xp, xp, wz, bz)
+    return out[:, :h]
