@@ -482,7 +482,8 @@ def bench_attn_streamed(name, block_q=256, block_k=1024, iters=10):
     report(name, dt, 4 * BH * S * S * D)
 
 
-def bench_conv_pallas(name, n=5, h=576, w=1024, cin=128, cout=128, iters=10):
+def bench_conv_pallas(name, n=5, h=576, w=1024, cin=128, cout=128, iters=10,
+                      block_rows=0):
     from tvi.ops.pallas_conv import conv3x3_pallas
 
     x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, cin), jnp.bfloat16)
@@ -493,7 +494,9 @@ def bench_conv_pallas(name, n=5, h=576, w=1024, cin=128, cout=128, iters=10):
     @jax.jit
     def run(x, wt, b):
         def body(i, cur):
-            y = conv3x3_pallas(cur, wt, b)
+            # block_rows is an explicit static arg (NOT a module global):
+            # the jit cache key must differ per variant (see CLAUDE.md)
+            y = conv3x3_pallas(cur, wt, b, block_rows=block_rows)
             return (cur + 0.001 * y).astype(cur.dtype)
         return jax.lax.fori_loop(0, iters, body, x)
 
@@ -506,6 +509,10 @@ def bench_conv_pallas(name, n=5, h=576, w=1024, cin=128, cout=128, iters=10):
     report(name, dt, 2 * n * h * w * cin * cout * 9)
 
 
+exp("pconv_up3_bh16")(lambda: bench_conv_pallas(
+    "pconv_up3_bh16", block_rows=16))
+exp("pconv_up3_bh4")(lambda: bench_conv_pallas(
+    "pconv_up3_bh4", block_rows=4))
 exp("pconv_up3")(lambda: bench_conv_pallas("pconv_up3 (5,576,1024,128)"))
 exp("pconv_up2")(lambda: bench_conv_pallas("pconv_up2 (5,288,512,256)",
                                            h=288, w=512, cin=256, cout=256))

@@ -70,8 +70,10 @@ def test_ragged_seq_padding(rng):
 
 
 def test_underflow_guard(rng):
-    """Adversarial magnitudes: the in-kernel row-max fallback must recover
-    tiles whose bound-shifted exp2 flushed to zero."""
+    """Adversarial magnitudes: with guarded=True the in-kernel row-max
+    fallback must recover tiles whose bound-shifted exp2 flushed to zero
+    (default is guarded=False — the in-kernel cond costs ~450 ms/step on
+    TPU even when never taken, PERF.md)."""
     b, s, c, heads = 1, 512, 128, 2
     ks = jax.random.split(rng, 4)
     x = jax.random.normal(ks[0], (b, s, c), jnp.float32) * 40.0
@@ -81,7 +83,7 @@ def test_underflow_guard(rng):
     want = _unfused(x, None, None, wq, wk, wv, heads)
     got = fused_spatial_self_attention(x, None, None, wq, wk, wv,
                                        heads=heads, scale=64 ** -0.5,
-                                       interpret=True)
+                                       guarded=True, interpret=True)
     assert bool(jnp.all(jnp.isfinite(got)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-3, rtol=2e-3)

@@ -125,8 +125,7 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     def call_bound(q, k, v, knorm):
         kernel = functools.partial(_flash_bound_kernel, scale=scale,
-                                   kv_valid=kv_valid,
-                                   guarded=shift != "bound_unguarded")
+                                   kv_valid=kv_valid)
         return pl.pallas_call(
             kernel,
             in_specs=qkv_specs + [
@@ -138,15 +137,29 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     knorm = jnp.max(
         jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)),
         axis=-1)[:, None, None]                            # (BH, 1, 1)
-    # 'bound' is self-guarded IN-KERNEL (per-tile row-max fallback when the
-    # shift underflows — see _flash_bound_kernel); 'bound_unguarded' skips
-    # the in-kernel check.  The former wrapper-level lax.cond between two
-    # pallas_calls cost ~8 ms/layer even when never taken (PERF.md).
-    return call_bound(q, k, v, knorm)[:, :sq_in]
+    if shift == "bound_unguarded":
+        # no runtime fallback: fastest path (unet fwd 1969 vs 2112 ms row),
+        # correct whenever c*log2e*max||q||*max||k|| stays under the fp32
+        # exp2 range (~126 log2 units) — true for LN-bounded activations;
+        # opt in for serving via TVI_ATTN_SHIFT=bound_unguarded.
+        return call_bound(q, k, v, knorm)[:, :sq_in]
+    # Default 'bound': wrapper-level underflow guard.  The slack proxy
+    # c * max||q|| * max||k|| bounds shift - rowmax from above; if it
+    # leaves less than half the fp32 exp2 budget, run the exact row-max
+    # kernel instead.  A scalar lax.cond at the XLA level costs ~5% of the
+    # step (~110 ms; both kernels compile, one executes) — measured far
+    # cheaper than an in-kernel cond, which poisons Mosaic's schedule for
+    # ~450 ms/step even when never taken (PERF.md round-2 session 2).
+    qnorm_max = jnp.max(jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)),
+                                         axis=-1)))
+    slack_proxy = qnorm_max * jnp.max(knorm) * (abs(scale) * LOG2E)
+    out = jax.lax.cond(slack_proxy < 63.0, call_bound, call_row,
+                       q, k, v, knorm)
+    return out[:, :sq_in]
 
 
 def _flash_bound_kernel(q_ref, k_ref, v_ref, kn_ref, o_ref, *, scale: float,
-                        kv_valid: int, guarded: bool = True):
+                        kv_valid: int):
     """Softmax shifted by a PRE-COMPUTED per-row upper bound instead of the
     row max.
 
@@ -177,33 +190,13 @@ def _flash_bound_kernel(q_ref, k_ref, v_ref, kn_ref, o_ref, *, scale: float,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT) * c          # (BQ, Sk) in log2
     masked = kv_valid < k.shape[0]
-    col = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-           if masked else None)
     p = jnp.exp2(logits - shift)
     if masked:
         # ragged sequences arrive zero-padded; padded keys give logits 0 ->
         # p = 2^-shift, so zero them after the exp
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         p = jnp.where(col < kv_valid, p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
-
-    if guarded:
-        # In-kernel underflow self-guard: the Cauchy-Schwarz shift is loose
-        # by up to ~sqrt(D) in log-space; if an entire row's exp2 flushed
-        # toward zero (l ~ 0, i.e. every p entry under ~2^-96), redo THIS
-        # TILE with the exact row-max shift.  A scalar cond on the tile's
-        # minimum denominator costs nothing in the common case — unlike the
-        # former wrapper-level lax.cond between two pallas_calls, which
-        # broke XLA pipelining for ~8 ms/layer even when never taken
-        # (PERF.md round-2 session 2).
-        def _rowmax(_):
-            lg = (jnp.where(col < kv_valid, logits, -jnp.inf)
-                  if masked else logits)
-            m = jnp.max(lg, axis=-1, keepdims=True)
-            p2 = jnp.exp2(lg - m)
-            return p2, jnp.sum(p2, axis=-1, keepdims=True)
-
-        p, l = jax.lax.cond(jnp.min(l) < 2.0 ** -96, _rowmax,
-                            lambda _: (p, l), None)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

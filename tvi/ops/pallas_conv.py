@@ -46,14 +46,18 @@ def _conv_kernel(xa_ref, xb_ref, w_ref, b_ref, o_ref, *, bh: int, w: int,
     window = jnp.concatenate([xa, xb[:2]], axis=0)     # (BH+2, W+2, C)
     c = window.shape[-1]
     co = w_ref.shape[-1]
-    # three column shifts once (sublane-dim slices -> copies), row shifts
-    # are free major-dim slices of these
-    cols = [window[:, dc:dc + w] for dc in range(3)]   # (BH+2, W, C) x3
+    # Three column shifts materialized once (sublane-offset slices -> one
+    # relayout copy each), immediately collapsed to ((BH+2)*W, C).  Row
+    # taps are then rows [dr*W, dr*W + BH*W) of the collapsed view — the
+    # offset is a multiple of W (itself a multiple of the 8-sublane tile),
+    # so all nine tap windows are ALIGNED free slices, not copies.
+    cols = [window[:, dc:dc + w].reshape((window.shape[0]) * w, c)
+            for dc in range(3)]
 
     acc = None
     for dr in range(3):
         for dc in range(3):
-            a = cols[dc][dr:dr + bh].reshape(bh * w, c)
+            a = jax.lax.dynamic_slice_in_dim(cols[dc], dr * w, bh * w, 0)
             part = jax.lax.dot_general(
                 a, w_ref[dr * 3 + dc], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

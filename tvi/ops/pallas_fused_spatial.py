@@ -117,7 +117,7 @@ def _q_flash_kernel(x_ref, lns_ref, lnb_ref, wq_ref, k_ref, v_ref, kn_ref,
 def fused_spatial_self_attention(x: jax.Array, ln_scale, ln_bias,
                                  wq: jax.Array, wk: jax.Array, wv: jax.Array,
                                  heads: int, scale: float,
-                                 eps: float = 1e-5, guarded: bool = True,
+                                 eps: float = 1e-5, guarded: bool = False,
                                  interpret: bool = False) -> jax.Array:
     """x: (B, S, C); ln_scale/ln_bias: (C,) or None (skip the fused LN);
     wq/wk/wv: (C, heads*64).  Returns head-major attention output
