@@ -62,9 +62,10 @@ def test_bf16_io(rng):
 
 def test_eligibility_gates():
     assert conv3x3_eligible((5, 576, 1024, 128), 128)
-    assert conv3x3_eligible((5, 72, 128, 512), 512)
+    assert conv3x3_eligible((5, 288, 512, 256), 256)
+    assert not conv3x3_eligible((5, 72, 128, 512), 512)  # small-W: XLA wins
     assert not conv3x3_eligible((5, 72, 9, 128), 128)    # W % 16
-    assert not conv3x3_eligible((2, 4, 16, 8), 8)        # H too small
+    assert not conv3x3_eligible((2, 4, 256, 8), 8)       # H too small
 
 
 def test_module_tree_and_fallback_match_nn_conv(rng):

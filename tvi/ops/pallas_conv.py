@@ -57,7 +57,7 @@ def _conv_kernel(xa_ref, xb_ref, w_ref, b_ref, o_ref, *, bh: int, w: int,
     acc = None
     for dr in range(3):
         for dc in range(3):
-            a = jax.lax.dynamic_slice_in_dim(cols[dc], dr * w, bh * w, 0)
+            a = cols[dc][dr * w:dr * w + bh * w]   # aligned static window
             part = jax.lax.dot_general(
                 a, w_ref[dr * 3 + dc], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -78,8 +78,13 @@ def _pick_block_rows(h: int, w: int) -> int:
 
 def conv3x3_eligible(shape, c_out: int) -> bool:
     n, h, w, c = shape
-    if w % 16 or w < 16 or h < 8:
-        return False  # (BH, W, C) -> (BH*W, C) collapse needs W % sublane
+    if w % 16 or w < 256 or h < 8:
+        # W % 16: the (BH, W, C) -> (BH*W, C) collapse needs sublane
+        # alignment.  W >= 256: measured wins over XLA's conv only at the
+        # large-spatial decode shapes (up3 63.0 vs 43.6 TF/s, up2 81.8 vs
+        # 64.6); at (.., 128, 512/320) shapes the kernel LOSES (38 vs 45,
+        # 43 vs 78) — Mosaic copy overhead dominates small-W blocks.
+        return False
     # resident weights + fp32 accumulator + blocks within VMEM budget
     bh = _pick_block_rows(h, w)
     vmem = (9 * c * c_out * 2            # weights
