@@ -528,6 +528,38 @@ exp("unet_fwd_pconv")(lambda: bench_unet_fwd(
     "unet_fwd_pconv", env={"TVI_PALLAS_CONV": "1"}))
 
 
+def bench_geglu(name, m=460800, k=320, n=1280, bm=256, bn=512, iters=10):
+    """Fused GEGLU projection at the headline FF shape."""
+    from tvi.ops.pallas_geglu import geglu_project
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, 2 * n),
+                          jnp.bfloat16) * k ** -0.5
+    b = jnp.zeros((2 * n,), jnp.bfloat16)
+
+    @jax.jit
+    def run(x, w, b):
+        def body(i, cur):
+            y = geglu_project(cur, w, b, bm=bm, bn0=bn)
+            return (cur + 0.001 * (y[:, :k])).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(x, w, b)
+    float(jnp.float32(out[0, 0]))
+    t0 = time.perf_counter()
+    out = run(x, w, b)
+    float(jnp.float32(out[0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * 2 * m * k * n)
+
+
+exp("geglu_base")(lambda: bench_geglu("geglu_base (bm256 bn512)"))
+exp("geglu_bm512")(lambda: bench_geglu("geglu_bm512", bm=512))
+exp("geglu_bm1024")(lambda: bench_geglu("geglu_bm1024", bm=1024))
+exp("geglu_bm512_bn1280")(lambda: bench_geglu("geglu_bm512_bn1280",
+                                              bm=512, bn=1280))
+
+
 exp("attn_streamed")(lambda: bench_attn_streamed("attn_streamed"))
 exp("attn_streamed_bq512")(lambda: bench_attn_streamed("attn_streamed_bq512",
                                                        block_q=512))

@@ -49,9 +49,10 @@ def _geglu_kernel(x_ref, wh_ref, wg_ref, bh_ref, bg_ref, o_ref):
     o_ref[:] = (h * gelu_g).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "bm", "bn0"))
 def geglu_project(x: jax.Array, w: jax.Array, b: jax.Array,
-                  interpret: bool = False) -> jax.Array:
+                  interpret: bool = False, bm: int = BM,
+                  bn0: int = BN) -> jax.Array:
     """x (M, K); w (K, 2N) with [hidden | gate] halves; b (2N,).
     Returns (M, N) = (x@w_h + b_h) * gelu(x@w_g + b_g)."""
     m, k = x.shape
@@ -59,24 +60,24 @@ def geglu_project(x: jax.Array, w: jax.Array, b: jax.Array,
     n = n2 // 2
     wh, wg = w[:, :n], w[:, n:]
     bh, bg = b[:n].reshape(1, n), b[n:].reshape(1, n)
-    pad_m = (-m) % BM
+    pad_m = (-m) % bm
     if pad_m:
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
     mp = x.shape[0]
     # bn must DIVIDE n or the grid leaves output columns unwritten
-    bn = next(c for c in (BN, 384, 256, 128) if n % c == 0)
-    grid = (mp // BM, n // bn)
+    bn = next(c for c in (bn0, 384, 256, 128) if n % c == 0)
+    grid = (mp // bm, n // bn)
     out = pl.pallas_call(
         _geglu_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BM, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BM, bn), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
         compiler_params=pltpu.CompilerParams(
