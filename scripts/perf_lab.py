@@ -754,6 +754,8 @@ exp("unet_fwd_int8")(lambda: bench_unet_fwd(
     "unet_fwd_int8", env={"TVI_SERVE_INT8": "1"}))
 exp("unet_fwd_nogeglu")(lambda: bench_unet_fwd(
     "unet_fwd_nogeglu", env={"TVI_DISABLE_FUSED_GEGLU": "1"}))
+exp("unet_fwd_geglu1024")(lambda: bench_unet_fwd(
+    "unet_fwd_geglu1024", env={"TVI_GEGLU_BM": "1024"}))
 
 def bench_gn_silu(name, shape=(5, 576, 1024, 128), groups=32, iters=10):
     """Isolated fused GroupNorm+SiLU at the decode up3 tensor shape:
