@@ -900,6 +900,8 @@ exp("unet_fwd_notemporalattn")(lambda: bench_unet_fwd(
     "unet_fwd_notemporalattn", env={"TVI_ABLATE": "temporal_attn"}))
 exp("unet_fwd_notransformers")(lambda: bench_unet_fwd(
     "unet_fwd_notransformers", env={"TVI_ABLATE": "transformers"}))
+exp("unet_fwd_noff")(lambda: bench_unet_fwd(
+    "unet_fwd_noff", env={"TVI_ABLATE": "ff"}))
 
 GROUPS["round3"] = ["fused_temporal_320", "unfused_temporal_320",
                     "fused_temporal_640", "fused_temporal_1280"]

@@ -71,8 +71,9 @@ class BasicTransformerBlock(nn.Module):
             if self.cross_attention:
                 hidden_states = attn("attn2")(
                     ln("norm2")(hidden_states), encoder_hidden_states) + hidden_states
-        hidden_states = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype,
-                                    name="ff")(ln("norm3")(hidden_states)) + hidden_states
+        if not ablated("ff"):
+            hidden_states = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype,
+                                        name="ff")(ln("norm3")(hidden_states)) + hidden_states
         return hidden_states
 
 
@@ -101,9 +102,11 @@ class TemporalBasicTransformerBlock(nn.Module):
         ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                     param_dtype=self.param_dtype, name=n)
         residual = hidden_states
-        hidden_states = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype,
-                                    name="ff_in")(ln("norm_in")(hidden_states))
-        hidden_states = hidden_states + residual  # is_res: dims equal by construction
+        if not ablated("ff"):
+            hidden_states = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype,
+                                        name="ff_in")(ln("norm_in")(hidden_states))
+            hidden_states = hidden_states + residual  # is_res: dims equal
+
 
         attn = lambda n: Attention(heads=self.heads, dim_head=self.dim_head,
                                    dtype=self.dtype, param_dtype=self.param_dtype, name=n)
@@ -125,8 +128,9 @@ class TemporalBasicTransformerBlock(nn.Module):
                 self.sow("intermediates", "attn_stats", stats)
             hidden_states = out + hidden_states
 
-        hidden_states = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype,
-                                    name="ff")(ln("norm3")(hidden_states)) + hidden_states
+        if not ablated("ff"):
+            hidden_states = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype,
+                                        name="ff")(ln("norm3")(hidden_states)) + hidden_states
         return hidden_states
 
 

@@ -13,6 +13,7 @@ Components:
   temporal_attn     - skip temporal attention inside temporal blocks
   temporal_self     - skip only the frame self-attention
   temporal_cross    - skip only the temporal cross-attention
+  ff                - skip every transformer FeedForward (ff, ff_in)
 """
 
 from __future__ import annotations
