@@ -423,6 +423,116 @@ exp("mm_bf16_16k")(lambda: bench_matmul("mm_bf16_16k (16k,16k)x(16k,16k)",
                                         16384, 16384, 16384, iters=8))
 
 
+def bench_matmul_true(name, m, k, n, iters=ITERS, int8=False):
+    """TRUE roofline probe: the loop carry consumes the FULL product.
+
+    The original bench_matmul carried only c[0, 0] — XLA's algebraic
+    simplifier can narrow slice(dot) to dot(slice), so its numbers
+    (notably 'mm_bf16_16k 1297 TF/s') may measure a sliver of the matmul.
+    Here A <- A + eps*C keeps every output element live.  The elementwise
+    add costs ~3 HBM passes of A per iter — negligible vs compute at
+    these sizes.
+    """
+    if int8:
+        a = jax.random.randint(jax.random.PRNGKey(0), (m, k), -127, 127,
+                               jnp.int8)
+        b = jax.random.randint(jax.random.PRNGKey(1), (k, n), -127, 127,
+                               jnp.int8)
+
+        @jax.jit
+        def run(a, b):
+            def body(i, a):
+                c = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32)
+                return (a ^ (c % 2).astype(jnp.int8)).astype(jnp.int8)
+            return jax.lax.fori_loop(0, iters, body, a)
+    else:
+        a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+        b = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.bfloat16)
+
+        @jax.jit
+        def run(a, b):
+            def body(i, a):
+                c = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=jax.lax.Precision.DEFAULT)
+                return (a + c * 1e-9).astype(a.dtype)
+            return jax.lax.fori_loop(0, iters, body, a)
+
+    out = run(a, b)
+    float(jnp.float32(out[0, 0]))
+    t0 = time.perf_counter()
+    out = run(a, b)
+    float(jnp.float32(out[0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * m * k * n)
+
+
+exp("mmt_bf16_4k")(lambda: bench_matmul_true("mmt_bf16_4k", 4096, 4096, 4096))
+exp("mmt_bf16_8k")(lambda: bench_matmul_true("mmt_bf16_8k", 8192, 8192, 8192,
+                                             iters=10))
+exp("mmt_bf16_16k")(lambda: bench_matmul_true("mmt_bf16_16k",
+                                              16384, 16384, 16384, iters=4))
+exp("mmt_int8_8k")(lambda: bench_matmul_true("mmt_int8_8k", 8192, 8192, 8192,
+                                             iters=10, int8=True))
+exp("mmt_int8_16k")(lambda: bench_matmul_true("mmt_int8_16k",
+                                              16384, 16384, 16384, iters=4,
+                                              int8=True))
+
+
+def bench_conv_v3(name, n=5, h=576, w=1024, cin=128, cout=128, iters=10,
+                  taps="k9", block_rows=0, gn=False):
+    from tvi.ops.pallas_conv import conv3x3_pallas_v3, group_norm_silu_conv3x3
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, cin), jnp.bfloat16)
+    wt = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout),
+                           jnp.bfloat16) * 0.05
+    b = jnp.zeros((cout,), jnp.bfloat16)
+    gamma = jnp.ones((cin,), jnp.float32)
+    beta = jnp.zeros((cin,), jnp.float32)
+
+    @jax.jit
+    def run(x, wt, b):
+        def body(i, cur):
+            if gn:
+                y = group_norm_silu_conv3x3(cur, gamma, beta, 32, wt, b,
+                                            taps=taps, block_rows=block_rows)
+            else:
+                y = conv3x3_pallas_v3(cur, wt, b, taps=taps,
+                                      block_rows=block_rows)
+            return (cur + 0.001 * y).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(x, wt, b)
+    float(jnp.float32(out.ravel()[0]))
+    t0 = time.perf_counter()
+    out = run(x, wt, b)
+    float(jnp.float32(out.ravel()[0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * n * h * w * cin * cout * 9)
+
+
+exp("pconv3_up3_k9")(lambda: bench_conv_v3("pconv3_up3_k9 (5,576,1024,128)"))
+exp("pconv3_up3_k3")(lambda: bench_conv_v3("pconv3_up3_k3", taps="k3"))
+exp("pconv3_up3_k9_bh16")(lambda: bench_conv_v3("pconv3_up3_k9_bh16",
+                                                block_rows=16))
+exp("pconv3_up3_k9_gn")(lambda: bench_conv_v3("pconv3_up3_k9_gn", gn=True))
+exp("pconv3_up2_k9")(lambda: bench_conv_v3("pconv3_up2_k9 (5,288,512,256)",
+                                           h=288, w=512, cin=256, cout=256))
+exp("pconv3_up2_k3")(lambda: bench_conv_v3("pconv3_up2_k3", h=288, w=512,
+                                           cin=256, cout=256, taps="k3"))
+exp("pconv3_up2_k9_gn")(lambda: bench_conv_v3("pconv3_up2_k9_gn", h=288,
+                                              w=512, cin=256, cout=256,
+                                              gn=True))
+exp("pconv3_mid_k9")(lambda: bench_conv_v3("pconv3_mid_k9 (5,72,128,512)",
+                                           h=72, w=128, cin=512, cout=512))
+exp("pconv3_unet320_k9")(lambda: bench_conv_v3(
+    "pconv3_unet320_k9 (50,72,128,320)", n=50, h=72, w=128, cin=320,
+    cout=320))
+exp("pconv3_unet320_k3")(lambda: bench_conv_v3(
+    "pconv3_unet320_k3", n=50, h=72, w=128, cin=320, cout=320, taps="k3"))
+
+
 def bench_conv(name, n=5, h=576, w=1024, cin=128, cout=128, iters=10):
     """XLA 3x3 conv ceiling probe at the decode up-block geometry."""
     import flax.linen as nn
@@ -886,7 +996,7 @@ def bench_attn_chain_fused(name, s=9216, c=320, bf=50, iters=5,
 
 exp("attn_chain_fusedspatial")(lambda: bench_attn_chain_fused(
     "attn_chain_fusedspatial"))
-exp("gn_up3")(lambda: bench_gn_silu("gn_up3"))  # pallas path (default on TPU)
+exp("gn_up3")(lambda: bench_gn_silu("gn_up3"))  # XLA default path; see gn_up3_pallas
 exp("gn_up3_pallas")(lambda: with_env({"TVI_PALLAS_GN": "1"},
                                       bench_gn_silu, "gn_up3_pallas"))
 exp("dec_gn_pallas")(lambda: with_env({"TVI_PALLAS_GN": "1"},

@@ -136,3 +136,26 @@ def test_attention_module_routes_and_matches(rng):
     assert calls, "fused spatial path was not taken"
     np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_guard_engages_on_adversarial_magnitudes(rng):
+    """With guarded=True (the default) the in-kernel row-max fallback must
+    keep outputs finite at magnitudes where the unguarded bound shift
+    underflows (ADVICE r2: the fused path used to silently drop the guard)."""
+    b, s, c, heads = 1, 512, 128, 2
+    ks = jax.random.split(rng, 4)
+    x = jax.random.normal(ks[0], (b, s, c), jnp.float32) * 40.0  # huge LN-free operands
+    wq = jax.random.normal(ks[1], (c, heads * 64)) * c ** -0.5 * 8.0
+    wk = jax.random.normal(ks[2], (c, heads * 64)) * c ** -0.5 * 8.0
+    wv = jax.random.normal(ks[3], (c, heads * 64)) * c ** -0.5
+
+    guarded = fused_spatial_self_attention(x, None, None, wq, wk, wv,
+                                           heads=heads, scale=64 ** -0.5,
+                                           guarded=True, interpret=True)
+    assert bool(jnp.isfinite(guarded).all()), "guarded kernel must stay finite"
+    # At these magnitudes the softmax is near-one-hot; tiny logit rounding
+    # flips argmax ties on a handful of rows — tolerate those.
+    want = _unfused(x, None, None, wq, wk, wv, heads)
+    err = np.abs(np.asarray(guarded) - np.asarray(want))
+    assert (err < 1e-3).mean() > 0.998
+    assert err.max() < 0.5

@@ -82,3 +82,63 @@ def test_module_tree_and_fallback_match_nn_conv(rng):
         {"params": dict(v["params"])}, x)
     np.testing.assert_allclose(np.asarray(m.apply(v, x)), np.asarray(want),
                                atol=1e-6)
+
+
+class TestConvV3:
+    """v3 single-contraction kernel (k9/k3 tap layouts) + fused GN prologue."""
+
+    @pytest.mark.parametrize("taps", ["k9", "k3"])
+    @pytest.mark.parametrize("n,h,w,c,co,bh", [
+        (1, 16, 32, 8, 16, 8),
+        (2, 24, 16, 16, 8, 8),    # ragged H -> padded rows
+        (1, 8, 48, 24, 8, 8),
+    ])
+    def test_matches_lax_conv(self, rng, taps, n, h, w, c, co, bh):
+        from tvi.ops.pallas_conv import conv3x3_pallas_v3
+        import flax.linen as nn
+        ks = jax.random.split(rng, 3)
+        x = jax.random.normal(ks[0], (n, h, w, c), jnp.float32)
+        wt = jax.random.normal(ks[1], (3, 3, c, co)) * 0.1
+        b = jax.random.normal(ks[2], (co,)) * 0.1
+        conv = nn.Conv(co, (3, 3), padding=1)
+        want = conv.apply({"params": {"kernel": wt, "bias": b}}, x)
+        got = conv3x3_pallas_v3(x, wt, b, taps=taps, block_rows=bh,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize("taps", ["k9", "k3"])
+    def test_gn_silu_prologue(self, rng, taps):
+        """conv(silu(gn(x))) fused == unfused reference, incl. correct
+        zero-padding semantics (pad AFTER the norm, not before)."""
+        from tvi.ops.groupnorm import group_norm_silu
+        from tvi.ops.pallas_conv import group_norm_silu_conv3x3
+        import flax.linen as nn
+        n, h, w, c, co, groups = 2, 16, 32, 16, 8, 4
+        ks = jax.random.split(rng, 5)
+        x = jax.random.normal(ks[0], (n, h, w, c), jnp.float32) * 2 + 1
+        gamma = jax.random.normal(ks[1], (c,)) * 0.3 + 1.0
+        beta = jax.random.normal(ks[2], (c,)) * 0.3
+        wt = jax.random.normal(ks[3], (3, 3, c, co)) * 0.1
+        b = jax.random.normal(ks[4], (co,)) * 0.1
+        conv = nn.Conv(co, (3, 3), padding=1)
+        want = conv.apply({"params": {"kernel": wt, "bias": b}},
+                          group_norm_silu(x, gamma, beta, groups))
+        got = group_norm_silu_conv3x3(x, gamma, beta, groups, wt, b,
+                                      taps=taps, block_rows=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_bf16_io(self, rng):
+        from tvi.ops.pallas_conv import conv3x3_pallas_v3
+        import flax.linen as nn
+        x = jax.random.normal(rng, (1, 16, 32, 16), jnp.bfloat16)
+        wt = jax.random.normal(rng, (3, 3, 16, 16), jnp.bfloat16) * 0.1
+        b = jnp.zeros((16,), jnp.bfloat16)
+        conv = nn.Conv(16, (3, 3), padding=1, dtype=jnp.bfloat16)
+        want = conv.apply({"params": {"kernel": wt, "bias": b}}, x)
+        got = conv3x3_pallas_v3(x, wt, b, block_rows=8, interpret=True)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   atol=3e-2, rtol=3e-2)

@@ -235,3 +235,38 @@ class TestCheckpointing:
         assert step == 3
         np.testing.assert_allclose(restored["a"], np.arange(4.0) * 3)
         mgr.close()
+
+
+class TestConditioningDropout:
+    """The CFG dropout must follow train_svd.py:1164-1184's correlated-band
+    scheme: one random_p per sample; prompt dropped iff r < 2p, image
+    dropped iff p <= r < 3p.  Checks the exact joint distribution."""
+
+    def test_band_joint_distribution(self):
+        from tvi.train.trainer import conditioning_dropout_masks
+        p = 0.1
+        n = 200_000
+        pk, ik = conditioning_dropout_masks(jax.random.PRNGKey(0), n, p)
+        pk, ik = np.asarray(pk), np.asarray(ik)
+        # marginals: prompt dropped w.p. 2p; image dropped w.p. 2p
+        assert abs((1 - pk).mean() - 2 * p) < 0.005
+        assert abs((1 - ik).mean() - 2 * p) < 0.005
+        # joint bands: both dropped == r in [p, 2p) -> prob p;
+        # prompt-only == r < p -> prob p; image-only == r in [2p, 3p) -> p
+        both = ((pk == 0) & (ik == 0)).mean()
+        prompt_only = ((pk == 0) & (ik == 1)).mean()
+        image_only = ((pk == 1) & (ik == 0)).mean()
+        assert abs(both - p) < 0.005
+        assert abs(prompt_only - p) < 0.005
+        assert abs(image_only - p) < 0.005
+
+    def test_matches_reference_formula_exactly(self):
+        from tvi.train.trainer import conditioning_dropout_masks
+        p = 0.07
+        rng = jax.random.PRNGKey(3)
+        pk, ik = conditioning_dropout_masks(rng, 4096, p)
+        r = jax.random.uniform(rng, (4096,))
+        ref_prompt_keep = ~(r < 2 * p)
+        ref_image_keep = 1 - ((r >= p) & (r < 3 * p)).astype(np.float32)
+        np.testing.assert_array_equal(np.asarray(pk, bool), np.asarray(ref_prompt_keep))
+        np.testing.assert_array_equal(np.asarray(ik), np.asarray(ref_image_keep))

@@ -424,11 +424,15 @@ class Attention(nn.Module):
 
         if fused_spatial_ok:
             # LN + QKV + flash fused; out-projection contracts the
-            # head-major output directly (no transpose op)
+            # head-major output directly (no transpose op).  The underflow
+            # guard follows TVI_ATTN_SHIFT like the unfused path: only the
+            # explicit bound_unguarded serving mode drops it (ADVICE r2).
+            from tvi.ops.pallas_attention import _default_shift
             lns, lnb = pre_ln if pre_ln is not None else (None, None)
             o_hm = fused_spatial_self_attention(
                 hidden_states, lns, lnb, wq, wk, wv,
-                heads=self.heads, scale=self.dim_head ** -0.5)
+                heads=self.heads, scale=self.dim_head ** -0.5,
+                guarded=_default_shift() != "bound_unguarded")
             return jnp.einsum(
                 "bhsd,hdo->bso", o_hm,
                 wo.reshape(self.heads, self.dim_head, out_features),

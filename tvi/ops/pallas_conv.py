@@ -95,6 +95,176 @@ def conv3x3_eligible(shape, c_out: int) -> bool:
     return vmem < 96 * 1024 * 1024
 
 
+def _conv_kernel_v3(*refs, bh: int, w: int, h: int, taps: str,
+                    prologue: bool, prologue_silu: bool, apply_silu: bool):
+    """Single-contraction conv kernel (v3).
+
+    v1's hidden cost is accumulation OUTSIDE the MXU: eight VPU adds on an
+    fp32 (BH*W, Co) tile (~32 MB of VPU traffic per 2.4 GFLOP program) plus
+    nine MXU weight loads.  v3 lane-concatenates the tap views into one
+    (BH*W, K) operand and lets the MXU accumulate internally across K
+    tiles: taps="k9" does one K=9C dot, "k3" does three K=3C dots (fewer
+    concat copies, two VPU adds).
+
+    Optional GN-apply(+SiLU) prologue: y = act(x * sc + bi) with per-sample
+    per-channel (1, 1, C) scale/bias refs (stats computed outside in one
+    XLA pass) applied to the halo window in VMEM — the GN->SiLU->conv
+    resnet/decoder chain then never round-trips the activation through HBM
+    between norm and conv.  SAME-padding zeros are re-zeroed after the
+    affine via an iota mask.
+    """
+    if prologue:
+        xa_ref, xb_ref, sc_ref, bi_ref, w_ref, b_ref, o_ref = refs
+    else:
+        xa_ref, xb_ref, w_ref, b_ref, o_ref = refs
+    hh = pl.program_id(1)
+    window = jnp.concatenate([xa_ref[0], xb_ref[0][:2]], axis=0)
+    c = window.shape[-1]
+    co = w_ref.shape[-1]
+    if prologue:
+        xf = window.astype(jnp.float32)
+        y = xf * sc_ref[0] + bi_ref[0]
+        if prologue_silu:
+            y = y * jax.nn.sigmoid(y)
+        # re-zero the SAME padding (affine maps 0 -> bi != 0): row r of the
+        # padded array is valid iff 1 <= hh*bh + r <= h; col w' iff
+        # 1 <= w' <= w.
+        rows = jax.lax.broadcasted_iota(jnp.int32, window.shape[:2], 0) + hh * bh
+        cols = jax.lax.broadcasted_iota(jnp.int32, window.shape[:2], 1)
+        valid = ((rows >= 1) & (rows <= h) & (cols >= 1) & (cols <= w))
+        window = jnp.where(valid[..., None], y, 0.0).astype(window.dtype)
+    # three column shifts, lane-concatenated then collapsed: (BH+2, W, 3C)
+    cols3 = jnp.concatenate([window[:, 0:w], window[:, 1:w + 1],
+                             window[:, 2:w + 2]], axis=-1)
+    cols3 = cols3.reshape((window.shape[0]) * w, 3 * c)
+    r = bh * w
+    if taps == "k9":
+        t = jnp.concatenate([cols3[0:r], cols3[w:w + r],
+                             cols3[2 * w:2 * w + r]], axis=-1)   # (R, 9C)
+        acc = jax.lax.dot_general(
+            t, w_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+    else:  # k3
+        acc = None
+        for dr in range(3):
+            part = jax.lax.dot_general(
+                cols3[dr * w:dr * w + r], w_ref[dr],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            acc = part if acc is None else acc + part
+    acc = acc + b_ref[0].astype(jnp.float32)
+    if apply_silu:
+        acc = acc * jax.nn.sigmoid(acc)
+    o_ref[0] = acc.reshape(bh, w, co).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_silu", "prologue_silu",
+                                             "taps", "block_rows",
+                                             "interpret"))
+def conv3x3_pallas_v3(x: jax.Array, w: jax.Array, b: jax.Array,
+                      gn_scale: jax.Array | None = None,
+                      gn_bias: jax.Array | None = None,
+                      apply_silu: bool = False, prologue_silu: bool = True,
+                      taps: str = "k9", block_rows: int = 0,
+                      interpret: bool = False) -> jax.Array:
+    """v3 conv (see _conv_kernel_v3).  x: (N, H, W, C); w: (3, 3, C, Co);
+    b: (Co,).  gn_scale/gn_bias: optional per-sample (N, C) fp32 apply-pass
+    coefficients (from tvi.ops.groupnorm.group_norm_stats folding) — when
+    given, computes conv3x3(act(x * sc + bi)) in one kernel."""
+    n, h, wdt, c = x.shape
+    co = w.shape[-1]
+    prologue = gn_scale is not None
+    bh = block_rows or _pick_block_rows(h, wdt)
+    hpad = ((h + bh - 1) // bh) * bh
+    xp = jnp.pad(x, ((0, 0), (1, hpad - h + 1 + bh), (1, 1), (0, 0)))
+    if taps == "k9":
+        wz = w.reshape(1, 9 * c, co)
+        w_spec = pl.BlockSpec((1, 9 * c, co), lambda nn_, hh: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        wz = w.reshape(3, 3 * c, co)
+        w_spec = pl.BlockSpec((3, 3 * c, co), lambda nn_, hh: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    bz = b.reshape(1, co)
+    grid = (n, hpad // bh)
+
+    in_block = pl.BlockSpec((1, bh, wdt + 2, c),
+                            lambda nn_, hh: (nn_, hh, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_block_next = pl.BlockSpec((1, bh, wdt + 2, c),
+                                 lambda nn_, hh: (nn_, hh + 1, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    in_specs = [in_block, in_block_next]
+    args = [xp, xp]
+    if prologue:
+        # per-sample (N, 1, C) scale/bias, block (1, 1, C) (Mosaic rule:
+        # last two dims of the block must equal the array dims here)
+        sc = gn_scale.reshape(n, 1, c).astype(jnp.float32)
+        bi = gn_bias.reshape(n, 1, c).astype(jnp.float32)
+        stat_spec = pl.BlockSpec((1, 1, c), lambda nn_, hh: (nn_, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [stat_spec, stat_spec]
+        args += [sc, bi]
+    in_specs += [w_spec,
+                 pl.BlockSpec((1, co), lambda nn_, hh: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    args += [wz, bz]
+
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel_v3, bh=bh, w=wdt, h=h, taps=taps,
+                          prologue=prologue, prologue_silu=prologue_silu,
+                          apply_silu=apply_silu),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bh, wdt, co),
+                               lambda nn_, hh: (nn_, hh, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hpad, wdt, co), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=int(120 * 1024 * 1024),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * hpad * wdt * c * co * 9,
+            bytes_accessed=(2 * n * hpad * wdt * c
+                            + n * hpad * wdt * co) * 2,
+            transcendentals=n * hpad * wdt * co if apply_silu else 0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:, :h]
+
+
+def group_norm_silu_conv3x3(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                            num_groups: int, w: jax.Array, b: jax.Array,
+                            eps: float = 1e-5, taps: str = "k9",
+                            block_rows: int = 0,
+                            interpret: bool = False) -> jax.Array:
+    """conv3x3(silu(group_norm(x))) with the GN apply + SiLU fused into the
+    conv kernel's prologue — the GN->SiLU->conv chain of ResnetBlock2D /
+    the VAE decoder (reference src/models/ stacks) in 1 stats pass + 1
+    kernel, no full-tensor HBM round-trip between norm and conv.
+
+    x: (N, H, W, C); gamma/beta: (C,) GN affine; w: (3, 3, C, Co); b: (Co,).
+    """
+    from tvi.ops.groupnorm import group_norm_stats
+
+    n = x.shape[0]
+    c = x.shape[-1]
+    cg = c // num_groups
+    mean, var = group_norm_stats(x, num_groups)
+    rstd = jax.lax.rsqrt(var + eps)
+    rstd_c = jnp.repeat(rstd, cg, axis=-1)                # (N, C)
+    mean_c = jnp.repeat(mean, cg, axis=-1)
+    sc = rstd_c * gamma.astype(jnp.float32)[None]
+    bi = beta.astype(jnp.float32)[None] - mean_c * sc
+    return conv3x3_pallas_v3(x, w, b, gn_scale=sc, gn_bias=bi,
+                             prologue_silu=True, taps=taps,
+                             block_rows=block_rows, interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("apply_silu", "block_rows",
                                              "interpret"))
 def conv3x3_pallas(x: jax.Array, w: jax.Array, b: jax.Array,

@@ -15,9 +15,11 @@ layer-0 shape).  This module removes those passes:
     kernel-native layout, so no transpose ever materializes.
   kernel 2 (LN + Q + bound-shift flash): grid (B, H, S/BQ); q_h computed
     in-VMEM from the same LN'd block, then the Cauchy-Schwarz-shifted
-    softmax attention against the resident K_h/V_h (the self-guarded
-    kernel of tvi/ops/pallas_attention.py: per-tile row-max fallback on
-    underflow).  Output lands head-major (B, H, S, 64).
+    softmax attention against the resident K_h/V_h.  With ``guarded=True``
+    (the default; the Attention caller derives it from TVI_ATTN_SHIFT and
+    drops it only under ``bound_unguarded``) an in-kernel per-tile check
+    recomputes via row-max when the shifted denominator underflows.
+    Output lands head-major (B, H, S, 64).
   epilogue (XLA): out = einsum('bhsd,hdo->bso', o, Wo) + bo — XLA contracts
     head-major directly; no transpose op.
 
@@ -117,7 +119,7 @@ def _q_flash_kernel(x_ref, lns_ref, lnb_ref, wq_ref, k_ref, v_ref, kn_ref,
 def fused_spatial_self_attention(x: jax.Array, ln_scale, ln_bias,
                                  wq: jax.Array, wk: jax.Array, wv: jax.Array,
                                  heads: int, scale: float,
-                                 eps: float = 1e-5, guarded: bool = False,
+                                 eps: float = 1e-5, guarded: bool = True,
                                  interpret: bool = False) -> jax.Array:
     """x: (B, S, C); ln_scale/ln_bias: (C,) or None (skip the fused LN);
     wq/wk/wv: (C, heads*64).  Returns head-major attention output

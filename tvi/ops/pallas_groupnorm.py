@@ -20,8 +20,10 @@ use_fast_variance) to fp32 rounding.  Reference GN sites it accelerates:
 diffusers ResnetBlock2D norm1/norm2 + SiLU and the VAE decoder norms
 (reference src/models/ via unet_3d_blocks.py resnets; VAE conv_norm_out).
 
-Dispatch: tvi.ops.groupnorm.group_norm_silu routes here on TPU for
-lane-aligned channel counts; TVI_DISABLE_PALLAS_GN=1 falls back to XLA.
+Dispatch: OPT-IN via TVI_PALLAS_GN=1 (tvi/ops/groupnorm.py).  The XLA
+formulation is the default: in context XLA fuses the GN apply pass into
+neighboring ops, and this standalone kernel pair REGRESSED end-to-end
+(PERF.md round-2 post-mortem #1).
 """
 
 from __future__ import annotations

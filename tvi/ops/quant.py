@@ -80,7 +80,8 @@ def dense_w8a8(x: jax.Array, w_i8: jax.Array, w_scale: jax.Array,
 def quantize_param_tree(params, predicate) -> dict:
     """Walk a flax param tree; for every 'kernel' leaf where
     predicate(path, leaf) is True, replace it with a dict
-    {kernel_i8, kernel_scale}.  Used by the serving-mode loader."""
+    {kernel_i8, kernel_scale}.  Load-time weight pre-quantization for the
+    int8 serving mode (avoids per-call on-the-fly weight quantization)."""
     from flax import traverse_util
 
     flat = traverse_util.flatten_dict(params, sep="/")

@@ -40,6 +40,20 @@ from tvi.train.losses import attention_monotonicity_loss, edm_mse_loss, frame_ma
 from tvi.train.params import merge_params
 
 
+def conditioning_dropout_masks(rng: jax.Array, b: int, p: float):
+    """CFG conditioning-dropout keep masks (train_svd.py:1164-1184).
+
+    One uniform ``random_p`` per sample drives BOTH masks (correlated
+    bands, InstructPix2Pix §3.2.1): prompt dropped iff ``random_p < 2p``,
+    image dropped iff ``p <= random_p < 3p``.  Returns fp32
+    ``(prompt_keep, image_keep)`` of shape (b,) with 1.0 = keep.
+    """
+    random_p = jax.random.uniform(rng, (b,))
+    prompt_keep = (random_p >= 2 * p).astype(jnp.float32)
+    image_keep = 1.0 - ((random_p >= p) & (random_p < 3 * p)).astype(jnp.float32)
+    return prompt_keep, image_keep
+
+
 class TrainState(flax.struct.PyTreeNode):
     step: jax.Array
     trainable: Any          # trainable param subset (fp32)
@@ -259,9 +273,9 @@ def make_controlnet_train_step(
     Distinct reference semantics reproduced:
       - conditional latent = mode() of the slightly-noised FIRST frame,
         repeated across frames (train_svd.py:1132-1150)
-      - conditioning dropout: with prob p zero the CLIP embed, with prob
-        in (p, 3p/2)... following :1164-1184: prompt mask zeroes embeds,
-        image mask zeroes the conditional latents
+      - conditioning dropout (:1164-1184): one uniform random_p per sample;
+        CLIP embeds zeroed iff random_p < 2p, conditional latents zeroed
+        iff p <= random_p < 3p (correlated bands, not independent draws)
       - added_time_ids carry per-sample motion_values (:1151-1159)
       - 8-channel UNet input (no mask channel) with single CLIP token.
     """
@@ -270,7 +284,7 @@ def make_controlnet_train_step(
                        cfg.noise_d_low, cfg.noise_d_high, cfg.sigma_data)
 
     def loss_fn(cn_params, frozen, batch, rng):
-        (r_sigma, r_noise, r_vae, r_aug, r_drop_p, r_drop_i) = jax.random.split(rng, 6)
+        (r_sigma, r_noise, r_vae, r_aug, r_drop_p) = jax.random.split(rng, 5)
         video = batch["video"]
         b, f = video.shape[0], video.shape[1]
 
@@ -294,15 +308,16 @@ def make_controlnet_train_step(
 
         emb = _encode_clip_embeddings(clip, frozen["clip"], video[:, 0], dtype)
 
-        # conditioning dropout for CFG (train_svd.py:1164-1184)
+        # conditioning dropout for CFG (train_svd.py:1164-1184): ONE uniform
+        # random_p per sample with correlated bands — prompt dropped iff
+        # random_p < 2p; image dropped iff p <= random_p < 3p.  So "both
+        # dropped" has prob p (the [p, 2p) band) and "image-only" has prob p
+        # (the [2p, 3p) band), matching InstructPix2Pix §3.2.1 semantics.
         if cfg.conditioning_dropout_prob > 0:
-            p = cfg.conditioning_dropout_prob
-            u_p = jax.random.uniform(r_drop_p, (b,))
-            prompt_keep = (u_p >= p).astype(dtype)                    # zero embeds w.p. p
-            emb = emb * prompt_keep[:, None, None]
-            u_i = jax.random.uniform(r_drop_i, (b,))
-            image_keep = (u_i >= p).astype(dtype)
-            cond_lat = cond_lat * image_keep[:, None, None, None]
+            prompt_keep, image_keep = conditioning_dropout_masks(
+                r_drop_p, b, cfg.conditioning_dropout_prob)
+            emb = emb * prompt_keep.astype(dtype)[:, None, None]
+            cond_lat = cond_lat * image_keep.astype(dtype)[:, None, None, None]
 
         cond_lat = jnp.broadcast_to(cond_lat[:, None], (b, f) + cond_lat.shape[1:])
 
