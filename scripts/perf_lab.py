@@ -480,6 +480,177 @@ exp("mmt_int8_16k")(lambda: bench_matmul_true("mmt_int8_16k",
                                               int8=True))
 
 
+def bench_hbm_bw(name, gb=2.0, iters=20):
+    """HBM bandwidth probe: y = x * a + b elementwise over a large buffer,
+    full dependency.  Traffic per iter = read + write = 2 * size."""
+    n = int(gb * 1e9 / 2)  # bf16 elements
+    rows = n // 4096
+    x = jnp.ones((rows, 4096), jnp.bfloat16)
+
+    @jax.jit
+    def run(x):
+        def body(i, cur):
+            return cur * jnp.bfloat16(0.9999) + jnp.bfloat16(1e-6)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(x)
+    float(jnp.float32(out[0, 0]))
+    t0 = time.perf_counter()
+    out = run(x)
+    float(jnp.float32(out[0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    tbs = 2 * rows * 4096 * 2 / dt / 1e12
+    print(f"[{name}] {dt*1e3:8.3f} ms/iter  {tbs:7.3f} TB/s eff (r+w)",
+          flush=True)
+
+
+exp("hbm_bw")(lambda: bench_hbm_bw("hbm_bw 2GB"))
+exp("hbm_bw_8g")(lambda: bench_hbm_bw("hbm_bw_8g", gb=8.0, iters=10))
+
+
+def _mm_int8_pallas_kernel(a_ref, b_ref, o_ref):
+    o_ref[...] = jax.lax.dot_general(
+        a_ref[...], b_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
+
+
+def bench_matmul_int8_pallas(name, m=8192, k=8192, n=8192, bm=1024, bn=512,
+                             iters=10):
+    """Mosaic-native int8 matmul: does Pallas reach the nominal int8 MXU
+    rate where XLA's int8 dot lowering (mmt_int8: 96 TOPS) does not?"""
+    a = jax.random.randint(jax.random.PRNGKey(0), (m, k), -127, 127, jnp.int8)
+    b = jax.random.randint(jax.random.PRNGKey(1), (k, n), -127, 127, jnp.int8)
+
+    @jax.jit
+    def mm(a, b):
+        return pl.pallas_call(
+            _mm_int8_pallas_kernel,
+            grid=(m // bm, n // bn),
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, bn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=int(100 * 1024 * 1024)),
+        )(a, b)
+
+    @jax.jit
+    def run(a, b):
+        def body(i, a):
+            c = mm(a, b)
+            return (a ^ (c % 2).astype(jnp.int8)).astype(jnp.int8)
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    out = run(a, b)
+    float(jnp.float32(out[0, 0]))
+    t0 = time.perf_counter()
+    out = run(a, b)
+    float(jnp.float32(out[0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * m * k * n)
+
+
+exp("mm_int8_pallas")(lambda: bench_matmul_int8_pallas("mm_int8_pallas 8k"))
+
+
+def bench_matmul_w8(name, m=46080, k=1280, n=1280, iters=20):
+    """W8A16 probe: int8 weights dequantized to bf16 on the fly, bf16 MXU
+    compute — halves WEIGHT HBM traffic without the int8-dot slowness.
+    Shape default = the C=1280 FF layer rows at headline geometry."""
+    a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+    bi = jax.random.randint(jax.random.PRNGKey(1), (k, n), -127, 127, jnp.int8)
+    bs = jax.random.normal(jax.random.PRNGKey(2), (1, n), jnp.bfloat16) * 0.01
+
+    @jax.jit
+    def run(a, bi, bs):
+        def body(i, a):
+            b = bi.astype(jnp.bfloat16) * bs
+            c = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.DEFAULT)
+            return (a + c * 1e-9).astype(a.dtype)
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    out = run(a, bi, bs)
+    float(jnp.float32(out[0, 0]))
+    t0 = time.perf_counter()
+    out = run(a, bi, bs)
+    float(jnp.float32(out[0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * m * k * n)
+
+
+exp("mm_w8_ff1280")(lambda: bench_matmul_w8("mm_w8_ff1280"))
+exp("mm_bf16_ff1280")(lambda: bench_matmul_true("mm_bf16_ff1280",
+                                                46080, 1280, 1280))
+
+
+def _mm_resident_kernel(a_ref, b_ref, o_ref, *, inner: int):
+    a = a_ref[...]
+    b = b_ref[...]
+    acc = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
+    for _ in range(inner - 1):
+        acc = acc + jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def bench_mm_resident(name, m=8192, k=1152, n=128, inner=32, iters=5):
+    """Pure-MXU rate for ONE VMEM-resident matmul shape: the kernel loops
+    `inner` accumulating dots over the same resident operands — no DMA, no
+    relayout, no epilogue.  Isolates 'is the conv kernel's (M,9C)x(9C,Co)
+    contraction itself the wall?'."""
+    a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.bfloat16) * 0.01
+
+    mm = pl.pallas_call(
+        functools.partial(_mm_resident_kernel, inner=inner),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024)),
+    )
+
+    @jax.jit
+    def run(a, b):
+        def body(i, cur):
+            o = mm(cur, b)
+            return (cur + o[:, :k] * 1e-9 if n >= k
+                    else cur + jnp.pad(o, ((0, 0), (0, k - n))) * 1e-9
+                    ).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    out = run(a, b)
+    float(jnp.float32(out[0, 0]))
+    t0 = time.perf_counter()
+    out = run(a, b)
+    float(jnp.float32(out[0, 0]))
+    dt = (time.perf_counter() - t0) / (iters * inner)
+    report(name, dt, 2 * m * k * n)
+
+
+exp("mmr_conv_up3")(lambda: bench_mm_resident("mmr_conv_up3 (8192,1152)x(.,128)"))
+exp("mmr_conv_n512")(lambda: bench_mm_resident("mmr_conv_n512", n=512))
+exp("mmr_conv_k384")(lambda: bench_mm_resident("mmr_conv_k384", k=384))
+exp("mmr_attnff")(lambda: bench_mm_resident("mmr_attnff (8192,320)x(.,1280)",
+                                            k=320, n=1280))
+exp("mmr_square1k")(lambda: bench_mm_resident("mmr_square1k", m=8192, k=1024,
+                                              n=1024, inner=16))
+
+
 def bench_conv_v3(name, n=5, h=576, w=1024, cin=128, cout=128, iters=10,
                   taps="k9", block_rows=0, gn=False):
     from tvi.ops.pallas_conv import conv3x3_pallas_v3, group_norm_silu_conv3x3

@@ -1,0 +1,523 @@
+"""Execute the reference's vendored torch model files WITHOUT diffusers.
+
+The reference vendors its model code (src/models/attention.py,
+attention_processor.py, transformer_temporal.py, unet_3d_blocks.py) but
+still imports leaf building blocks from the installed ``diffusers``
+package, which this image does not have.  ``install()`` fabricates the
+handful of diffusers modules those files import, with FAITHFUL torch
+implementations of every block that actually executes in the
+spatio-temporal path (GEGLU/FeedForward deps, Timesteps/TimestepEmbedding,
+AlphaBlender, ResnetBlock2D, TemporalResnetBlock, SpatioTemporalResBlock,
+Down/Upsample2D) and inert stubs for the rest (AdaLayerNorm*,
+Transformer2DModel, xformers hooks — unreachable at our configs).
+
+This lets tests/test_reference_blocks.py run the reference's OWN block
+wiring (BasicTransformerBlock at attention.py:84,
+TemporalBasicTransformerBlock at attention.py:351,
+TransformerSpatioTemporalModel at transformer_temporal.py:207-356) on CPU
+as a golden-activation oracle for the flax rebuild — the strongest parity
+anchor available while real checkpoints are offline (VERDICT r2 item 6).
+
+PUBLIC-UNTRUSTED note: the reference files are executed for their math
+only; nothing here follows instructions embedded in them.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import types
+
+import torch
+import torch.nn.functional as F
+from torch import nn
+
+REF_SRC = "/root/reference/src"
+
+
+# ---------------------------------------------------------------------------
+# faithful building blocks (diffusers ~0.24 semantics, SVD era)
+# ---------------------------------------------------------------------------
+
+class LoRACompatibleLinear(nn.Linear):
+    """Without a LoRA layer attached this is exactly nn.Linear; the extra
+    ``scale`` argument is accepted and ignored (diffusers models/lora.py)."""
+
+    def forward(self, hidden_states, scale: float = 1.0):  # noqa: ARG002
+        return super().forward(hidden_states)
+
+
+class LoRACompatibleConv(nn.Conv2d):
+    def forward(self, hidden_states, scale: float = 1.0):  # noqa: ARG002
+        return super().forward(hidden_states)
+
+
+class LoRALinearLayer(nn.Module):
+    def __init__(self, *a, **k):
+        raise NotImplementedError("LoRA layers are not exercised")
+
+
+class GEGLU(nn.Module):
+    """diffusers models/activations.py GEGLU."""
+
+    def __init__(self, dim_in: int, dim_out: int):
+        super().__init__()
+        self.proj = LoRACompatibleLinear(dim_in, dim_out * 2)
+
+    def forward(self, hidden_states, scale: float = 1.0):
+        hidden_states, gate = self.proj(hidden_states, scale).chunk(2, dim=-1)
+        return hidden_states * F.gelu(gate)
+
+
+class GELU(nn.Module):
+    def __init__(self, dim_in: int, dim_out: int, approximate: str = "none"):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out)
+        self.approximate = approximate
+
+    def forward(self, hidden_states):
+        return F.gelu(self.proj(hidden_states), approximate=self.approximate)
+
+
+class ApproximateGELU(nn.Module):
+    def __init__(self, dim_in: int, dim_out: int):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out)
+
+    def forward(self, x):
+        x = self.proj(x)
+        return x * torch.sigmoid(1.702 * x)
+
+
+def get_timestep_embedding(timesteps, embedding_dim, flip_sin_to_cos=False,
+                           downscale_freq_shift=1.0, scale=1.0, max_period=10000):
+    """diffusers models/embeddings.py:get_timestep_embedding, exact."""
+    assert len(timesteps.shape) == 1
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * torch.arange(
+        half_dim, dtype=torch.float32, device=timesteps.device)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = torch.exp(exponent)
+    emb = timesteps[:, None].float() * emb[None, :]
+    emb = scale * emb
+    emb = torch.cat([torch.sin(emb), torch.cos(emb)], dim=-1)
+    if flip_sin_to_cos:
+        emb = torch.cat([emb[:, half_dim:], emb[:, :half_dim]], dim=-1)
+    if embedding_dim % 2 == 1:
+        emb = F.pad(emb, (0, 1, 0, 0))
+    return emb
+
+
+class Timesteps(nn.Module):
+    def __init__(self, num_channels: int, flip_sin_to_cos: bool,
+                 downscale_freq_shift: float):
+        super().__init__()
+        self.num_channels = num_channels
+        self.flip_sin_to_cos = flip_sin_to_cos
+        self.downscale_freq_shift = downscale_freq_shift
+
+    def forward(self, timesteps):
+        return get_timestep_embedding(
+            timesteps, self.num_channels,
+            flip_sin_to_cos=self.flip_sin_to_cos,
+            downscale_freq_shift=self.downscale_freq_shift)
+
+
+class TimestepEmbedding(nn.Module):
+    def __init__(self, in_channels: int, time_embed_dim: int,
+                 act_fn: str = "silu", out_dim: int = None,
+                 post_act_fn: str = None, cond_proj_dim: int = None):
+        super().__init__()
+        self.linear_1 = nn.Linear(in_channels, time_embed_dim)
+        assert cond_proj_dim is None and post_act_fn is None
+        assert act_fn == "silu"
+        self.act = nn.SiLU()
+        self.linear_2 = nn.Linear(time_embed_dim, out_dim or time_embed_dim)
+
+    def forward(self, sample, condition=None):  # noqa: ARG002
+        return self.linear_2(self.act(self.linear_1(sample)))
+
+
+class SinusoidalPositionalEmbedding(nn.Module):
+    def __init__(self, *a, **k):
+        raise NotImplementedError("not exercised at our configs")
+
+
+class AlphaBlender(nn.Module):
+    """diffusers models/resnet.py AlphaBlender (SVD era), exact for the
+    'learned_with_images' strategy used by the reference."""
+
+    strategies = ["learned", "fixed", "learned_with_images"]
+
+    def __init__(self, alpha: float, merge_strategy: str = "learned_with_images",
+                 switch_spatial_to_temporal_mix: bool = False):
+        super().__init__()
+        self.merge_strategy = merge_strategy
+        self.switch_spatial_to_temporal_mix = switch_spatial_to_temporal_mix
+        if merge_strategy == "fixed":
+            self.register_buffer("mix_factor", torch.Tensor([alpha]))
+        elif merge_strategy in ("learned", "learned_with_images"):
+            self.register_parameter(
+                "mix_factor", nn.Parameter(torch.Tensor([alpha])))
+        else:
+            raise ValueError(f"unknown merge strategy {merge_strategy}")
+
+    def get_alpha(self, image_only_indicator: torch.Tensor, ndims: int):
+        if self.merge_strategy == "fixed":
+            alpha = self.mix_factor
+        elif self.merge_strategy == "learned":
+            alpha = torch.sigmoid(self.mix_factor)
+        else:  # learned_with_images
+            alpha = torch.where(
+                image_only_indicator.bool(),
+                torch.ones(1, 1, device=image_only_indicator.device),
+                torch.sigmoid(self.mix_factor)[..., None],
+            )
+            if ndims == 5:
+                alpha = alpha[:, None, :, None, None]
+            elif ndims == 3:
+                alpha = alpha.reshape(-1)[:, None, None]
+            else:
+                raise ValueError(f"unexpected ndims {ndims}")
+        return alpha
+
+    def forward(self, x_spatial, x_temporal, image_only_indicator=None):
+        alpha = self.get_alpha(image_only_indicator, x_spatial.ndim)
+        alpha = alpha.to(x_spatial.dtype)
+        if self.switch_spatial_to_temporal_mix:
+            alpha = 1.0 - alpha
+        return alpha * x_spatial + (1.0 - alpha) * x_temporal
+
+
+class ResnetBlock2D(nn.Module):
+    """diffusers models/resnet.py ResnetBlock2D, restricted to the
+    configuration the SVD/ST stack uses (default time_embedding_norm,
+    swish nonlinearity, no up/downsample)."""
+
+    def __init__(self, *, in_channels, out_channels=None, conv_shortcut=False,
+                 dropout=0.0, temb_channels=512, groups=32, groups_out=None,
+                 pre_norm=True, eps=1e-6, non_linearity="swish",
+                 skip_time_act=False, time_embedding_norm="default",
+                 kernel=None, output_scale_factor=1.0, use_in_shortcut=None,
+                 up=False, down=False, conv_shortcut_bias=True,
+                 conv_2d_out_channels=None):
+        super().__init__()
+        assert time_embedding_norm == "default" and not up and not down
+        assert non_linearity in ("swish", "silu") and kernel is None
+        out_channels = out_channels or in_channels
+        self.output_scale_factor = output_scale_factor
+        self.norm1 = nn.GroupNorm(groups, in_channels, eps=eps, affine=True)
+        self.conv1 = nn.Conv2d(in_channels, out_channels, 3, 1, 1)
+        if temb_channels is not None:
+            self.time_emb_proj = nn.Linear(temb_channels, out_channels)
+        else:
+            self.time_emb_proj = None
+        self.norm2 = nn.GroupNorm(groups_out or groups, out_channels,
+                                  eps=eps, affine=True)
+        self.dropout = nn.Dropout(dropout)
+        self.conv2 = nn.Conv2d(out_channels, out_channels, 3, 1, 1)
+        self.nonlinearity = nn.SiLU()
+        self.use_in_shortcut = (in_channels != out_channels
+                                if use_in_shortcut is None else use_in_shortcut)
+        self.conv_shortcut = None
+        if self.use_in_shortcut:
+            self.conv_shortcut = nn.Conv2d(in_channels, out_channels, 1, 1, 0,
+                                           bias=conv_shortcut_bias)
+
+    def forward(self, input_tensor, temb, scale: float = 1.0):  # noqa: ARG002
+        hidden_states = self.norm1(input_tensor)
+        hidden_states = self.nonlinearity(hidden_states)
+        hidden_states = self.conv1(hidden_states)
+        if self.time_emb_proj is not None and temb is not None:
+            temb = self.time_emb_proj(self.nonlinearity(temb))[:, :, None, None]
+            hidden_states = hidden_states + temb
+        hidden_states = self.norm2(hidden_states)
+        hidden_states = self.nonlinearity(hidden_states)
+        hidden_states = self.dropout(hidden_states)
+        hidden_states = self.conv2(hidden_states)
+        if self.conv_shortcut is not None:
+            input_tensor = self.conv_shortcut(input_tensor)
+        return (input_tensor + hidden_states) / self.output_scale_factor
+
+
+class TemporalResnetBlock(nn.Module):
+    """diffusers models/resnet.py TemporalResnetBlock ((3,1,1) 3D convs)."""
+
+    def __init__(self, in_channels, out_channels=None, temb_channels=512,
+                 eps=1e-6):
+        super().__init__()
+        out_channels = out_channels or in_channels
+        kernel_size = (3, 1, 1)
+        padding = tuple(k // 2 for k in kernel_size)
+        self.norm1 = nn.GroupNorm(32, in_channels, eps=eps, affine=True)
+        self.conv1 = nn.Conv3d(in_channels, out_channels, kernel_size,
+                               stride=1, padding=padding)
+        if temb_channels is not None:
+            self.time_emb_proj = nn.Linear(temb_channels, out_channels)
+        else:
+            self.time_emb_proj = None
+        self.norm2 = nn.GroupNorm(32, out_channels, eps=eps, affine=True)
+        self.dropout = nn.Dropout(0.0)
+        self.conv2 = nn.Conv3d(out_channels, out_channels, kernel_size,
+                               stride=1, padding=padding)
+        self.nonlinearity = nn.SiLU()
+        self.use_in_shortcut = in_channels != out_channels
+        self.conv_shortcut = None
+        if self.use_in_shortcut:
+            self.conv_shortcut = nn.Conv3d(in_channels, out_channels, 1, 1, 0)
+
+    def forward(self, input_tensor, temb):
+        # input: (B, C, F, H, W)
+        hidden_states = self.norm1(input_tensor)
+        hidden_states = self.nonlinearity(hidden_states)
+        hidden_states = self.conv1(hidden_states)
+        if self.time_emb_proj is not None and temb is not None:
+            temb = self.time_emb_proj(self.nonlinearity(temb))
+            temb = temb[:, :, :, None, None].permute(0, 2, 1, 3, 4)
+            hidden_states = hidden_states + temb
+        hidden_states = self.norm2(hidden_states)
+        hidden_states = self.nonlinearity(hidden_states)
+        hidden_states = self.dropout(hidden_states)
+        hidden_states = self.conv2(hidden_states)
+        if self.conv_shortcut is not None:
+            input_tensor = self.conv_shortcut(input_tensor)
+        return input_tensor + hidden_states
+
+
+class SpatioTemporalResBlock(nn.Module):
+    """diffusers models/resnet.py SpatioTemporalResBlock: spatial
+    ResnetBlock2D -> temporal TemporalResnetBlock -> AlphaBlender."""
+
+    def __init__(self, in_channels, out_channels=None, temb_channels=512,
+                 eps=1e-6, temporal_eps=None, merge_factor=0.5,
+                 merge_strategy="learned_with_images",
+                 switch_spatial_to_temporal_mix=False):
+        super().__init__()
+        out_channels = out_channels or in_channels
+        self.spatial_res_block = ResnetBlock2D(
+            in_channels=in_channels, out_channels=out_channels,
+            temb_channels=temb_channels, eps=eps)
+        self.temporal_res_block = TemporalResnetBlock(
+            in_channels=out_channels, out_channels=out_channels,
+            temb_channels=temb_channels,
+            eps=temporal_eps if temporal_eps is not None else eps)
+        self.time_mixer = AlphaBlender(
+            alpha=merge_factor, merge_strategy=merge_strategy,
+            switch_spatial_to_temporal_mix=switch_spatial_to_temporal_mix)
+
+    def forward(self, hidden_states, temb=None, image_only_indicator=None):
+        num_frames = image_only_indicator.shape[-1]
+        hidden_states = self.spatial_res_block(hidden_states, temb)
+        batch_frames, channels, height, width = hidden_states.shape
+        batch_size = batch_frames // num_frames
+        hidden_states_mix = hidden_states[None, :].reshape(
+            batch_size, num_frames, channels, height, width
+        ).permute(0, 2, 1, 3, 4)
+        hidden_states = hidden_states_mix.clone()
+        if temb is not None:
+            temb = temb.reshape(batch_size, num_frames, -1)
+        hidden_states = self.temporal_res_block(hidden_states, temb)
+        hidden_states = self.time_mixer(
+            x_spatial=hidden_states_mix, x_temporal=hidden_states,
+            image_only_indicator=image_only_indicator)
+        hidden_states = hidden_states.permute(0, 2, 1, 3, 4).reshape(
+            batch_frames, channels, height, width)
+        return hidden_states
+
+
+class Downsample2D(nn.Module):
+    def __init__(self, channels, use_conv=False, out_channels=None,
+                 padding=1, name="conv"):
+        super().__init__()
+        out_channels = out_channels or channels
+        assert use_conv
+        self.conv = nn.Conv2d(channels, out_channels, 3, stride=2,
+                              padding=padding)
+        self.name = name
+
+    def forward(self, hidden_states, scale: float = 1.0):  # noqa: ARG002
+        return self.conv(hidden_states)
+
+
+class Upsample2D(nn.Module):
+    def __init__(self, channels, use_conv=False, use_conv_transpose=False,
+                 out_channels=None, name="conv"):
+        super().__init__()
+        assert use_conv and not use_conv_transpose
+        out_channels = out_channels or channels
+        self.conv = nn.Conv2d(channels, out_channels, 3, padding=1)
+        self.name = name
+
+    def forward(self, hidden_states, output_size=None, scale: float = 1.0):  # noqa: ARG002
+        hidden_states = F.interpolate(hidden_states, scale_factor=2.0,
+                                      mode="nearest")
+        return self.conv(hidden_states)
+
+
+class TemporalConvLayer(nn.Module):
+    def __init__(self, *a, **k):
+        raise NotImplementedError("only used by unreachable *3D blocks")
+
+
+# --- inert stubs (imported but never executed in the ST path) --------------
+
+class _Inert:
+    def __init__(self, *a, **k):
+        raise NotImplementedError(f"{type(self).__name__} stub: "
+                                  "not part of the spatio-temporal path")
+
+
+class AdaLayerNorm(_Inert):
+    pass
+
+
+class AdaLayerNormZero(_Inert):
+    pass
+
+
+class AdaLayerNormContinuous(_Inert):
+    pass
+
+
+class DualTransformer2DModel(_Inert):
+    pass
+
+
+class Transformer2DModel(_Inert):
+    pass
+
+
+class GatedSelfAttentionDense(_Inert):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# module fabrication
+# ---------------------------------------------------------------------------
+
+def _module(name: str, **attrs) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+class _Logger:
+    def __getattr__(self, _):
+        return lambda *a, **k: None
+
+
+class ConfigMixin:
+    config_name = "config.json"
+
+
+def register_to_config(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(self, *args, **kwargs):
+        fn(self, *args, **kwargs)
+    return wrapped
+
+
+class BaseOutput(dict):
+    """Minimal stand-in: attribute + mapping access over dataclass fields."""
+
+    def __post_init__(self):
+        import dataclasses
+        for f in dataclasses.fields(self):
+            self[f.name] = getattr(self, f.name)
+
+
+class ModelMixin(nn.Module):
+    pass
+
+
+def is_torch_version(op: str, version: str) -> bool:
+    from packaging.version import Version
+    cur = Version(torch.__version__.split("+")[0])
+    ref = Version(version)
+    return {"==": cur == ref, ">=": cur >= ref, "<=": cur <= ref,
+            ">": cur > ref, "<": cur < ref}[op]
+
+
+_INSTALLED = False
+
+
+def install() -> None:
+    """Fabricate the diffusers modules the reference model files import and
+    put /root/reference/src on sys.path (read-only use)."""
+    global _INSTALLED
+    if _INSTALLED:
+        return
+    utils = _module(
+        "diffusers.utils",
+        BaseOutput=BaseOutput, logging=types.SimpleNamespace(
+            get_logger=lambda *a, **k: _Logger()),
+        USE_PEFT_BACKEND=False,
+        deprecate=lambda *a, **k: None,
+        is_torch_version=is_torch_version,
+        CONFIG_NAME="config.json", DIFFUSERS_CACHE="/tmp",
+        FLAX_WEIGHTS_NAME="flax_model.msgpack", HF_HUB_OFFLINE=True,
+        MIN_PEFT_VERSION="0.6.0",
+        SAFETENSORS_WEIGHTS_NAME="diffusion_pytorch_model.safetensors",
+        WEIGHTS_NAME="diffusion_pytorch_model.bin",
+        _add_variant=lambda n, v=None: n,
+        is_accelerate_available=lambda: False,
+        is_torch_xla_available=lambda: False,
+    )
+    _module("diffusers.utils.torch_utils",
+            maybe_allow_in_graph=lambda cls: cls,
+            apply_freeu=_Inert)
+    _module("diffusers.utils.import_utils",
+            is_xformers_available=lambda: False)
+    _module("diffusers.utils.hub_utils", PushToHubMixin=type(
+        "PushToHubMixin", (), {}))
+    _module("diffusers.configuration_utils", ConfigMixin=ConfigMixin,
+            register_to_config=register_to_config)
+    _module("diffusers.loaders", UNet2DConditionLoadersMixin=type(
+        "UNet2DConditionLoadersMixin", (), {}))
+    models = _module("diffusers.models")
+    _module("diffusers.models.activations", GEGLU=GEGLU, GELU=GELU,
+            ApproximateGELU=ApproximateGELU)
+    _module("diffusers.models.embeddings", TimestepEmbedding=TimestepEmbedding,
+            Timesteps=Timesteps,
+            SinusoidalPositionalEmbedding=SinusoidalPositionalEmbedding,
+            get_timestep_embedding=get_timestep_embedding)
+    _module("diffusers.models.lora", LoRACompatibleLinear=LoRACompatibleLinear,
+            LoRACompatibleConv=LoRACompatibleConv,
+            LoRALinearLayer=LoRALinearLayer)
+    _module("diffusers.models.normalization", AdaLayerNorm=AdaLayerNorm,
+            AdaLayerNormZero=AdaLayerNormZero,
+            AdaLayerNormContinuous=AdaLayerNormContinuous)
+    _module("diffusers.models.modeling_utils", ModelMixin=ModelMixin,
+            load_model_dict_into_meta=_Inert, load_state_dict=_Inert)
+    _module("diffusers.models.resnet", AlphaBlender=AlphaBlender,
+            ResnetBlock2D=ResnetBlock2D,
+            TemporalResnetBlock=TemporalResnetBlock,
+            SpatioTemporalResBlock=SpatioTemporalResBlock,
+            Downsample2D=Downsample2D, Upsample2D=Upsample2D,
+            TemporalConvLayer=TemporalConvLayer)
+    _module("diffusers.models.dual_transformer_2d",
+            DualTransformer2DModel=DualTransformer2DModel)
+    _module("diffusers.models.transformer_2d",
+            Transformer2DModel=Transformer2DModel)
+    diffusers = _module("diffusers", __version__="0.24.0", utils=utils,
+                        models=models)
+    diffusers.loaders = sys.modules["diffusers.loaders"]
+    diffusers.configuration_utils = sys.modules["diffusers.configuration_utils"]
+
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+
+    # the reference's own attention blocks become the "diffusers" ones
+    # (transformer_temporal.py:22 imports TemporalBasicTransformerBlock from
+    # diffusers.models.attention, then shadows BasicTransformerBlock with
+    # its vendored copy at :24)
+    import models.attention as ref_attention  # noqa: E402  (reference code)
+    _module("diffusers.models.attention",
+            BasicTransformerBlock=ref_attention.BasicTransformerBlock,
+            TemporalBasicTransformerBlock=ref_attention.TemporalBasicTransformerBlock,
+            FeedForward=ref_attention.FeedForward)
+    _INSTALLED = True

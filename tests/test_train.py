@@ -270,3 +270,29 @@ class TestConditioningDropout:
         ref_image_keep = 1 - ((r >= p) & (r < 3 * p)).astype(np.float32)
         np.testing.assert_array_equal(np.asarray(pk, bool), np.asarray(ref_prompt_keep))
         np.testing.assert_array_equal(np.asarray(ik), np.asarray(ref_image_keep))
+
+
+class TestGradientCheckpointing:
+    """nn.remat over the UNet blocks (reference unet_3d_blocks.py:2032-2054,
+    train.py:377-379): gradients must be identical with and without."""
+
+    def test_grads_match_no_remat(self, rng):
+        unet = UNetSpatioTemporalConditionModel(TINY_UNET, dtype=jnp.float32)
+        unet_r = UNetSpatioTemporalConditionModel(
+            TINY_UNET, dtype=jnp.float32, gradient_checkpointing=True)
+        params = unet.init_params(rng)
+        b, f, h, w = 1, 2, 8, 8
+        sample = jax.random.normal(rng, (b, f, h, w, TINY_UNET.in_channels))
+        ctx = (jnp.ones((b, 2, TINY_UNET.cross_attention_dim)),
+               jnp.ones((b, 1, TINY_UNET.cross_attention_dim)))
+        ids = jnp.zeros((b, 3))
+
+        def loss(m, p):
+            out, _ = m.apply(p, sample, jnp.zeros((b,)), ctx, ids)
+            return jnp.sum(out ** 2)
+
+        g0 = jax.grad(lambda p: loss(unet, p))(params)
+        g1 = jax.grad(lambda p: loss(unet_r, p))(params)
+        for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-5, rtol=1e-5)

@@ -285,6 +285,10 @@ class TrainConfig(_ConfigBase):
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
     mixed_precision: str = "bf16"
+    # per-block activation rematerialization (reference train.py:377-379
+    # enable_gradient_checkpointing(); rebuilt as nn.remat over the UNet's
+    # down/mid/up blocks) — required to fit full-size training on one chip
+    gradient_checkpointing: bool = False
     checkpointing_steps: int = 50
     checkpoints_total_limit: Optional[int] = None
     validation_steps: int = 1000

@@ -142,6 +142,12 @@ class SpatioTemporalResBlock(nn.Module):
     eps: float = 1e-5
     temporal_eps: Optional[float] = None
     merge_factor: float = 0.5
+    # diffusers default False (UNet ST resblocks,
+    # unet_3d_blocks.py:1893-1918: out = sigmoid(mix)*spatial +
+    # (1-sig)*temporal); the VAE temporal-decoder blocks pass True
+    # (:1775-1784).  Anchored by tests/test_reference_blocks.py — the
+    # pre-round-3 hardcoded True inverted the UNet blend orientation.
+    switch_spatial_to_temporal_mix: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -163,7 +169,7 @@ class SpatioTemporalResBlock(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype,
             name="temporal_res_block")(h_spatial, temb_t)
         h = AlphaBlender(alpha=self.merge_factor,
-                         switch_spatial_to_temporal_mix=True,
+                         switch_spatial_to_temporal_mix=self.switch_spatial_to_temporal_mix,
                          param_dtype=self.param_dtype,
                          name="time_mixer")(h_spatial, h_temporal)
         return h.reshape(bf, height, width, c)

@@ -40,6 +40,11 @@ class UNetSpatioTemporalConditionModel(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # rematerialize each down/mid/up block on the backward pass instead of
+    # saving its activations — the TPU-idiomatic equivalent of the
+    # reference's per-block gradient-checkpointing branches
+    # (unet_3d_blocks.py:2032-2054) and trainer toggle (train.py:377-379).
+    gradient_checkpointing: bool = False
 
     @nn.compact
     def __call__(
@@ -83,12 +88,28 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                          name="conv_in")(sample)
 
         # 3. down blocks (reference :424-444)
+        if self.gradient_checkpointing:
+            # static_argnums: num_frames / flag args; flax counts the module
+            # instance itself as argument 0
+            CrossAttnDown = nn.remat(CrossAttnDownBlockSpatioTemporal,
+                                     static_argnums=(4, 5, 6))
+            Down = nn.remat(DownBlockSpatioTemporal, static_argnums=(3,))
+            Mid = nn.remat(UNetMidBlockSpatioTemporal, static_argnums=(4, 5, 6))
+            CrossAttnUp = nn.remat(CrossAttnUpBlockSpatioTemporal,
+                                   static_argnums=(5, 6, 7))
+            Up = nn.remat(UpBlockSpatioTemporal, static_argnums=(4,))
+        else:
+            CrossAttnDown = CrossAttnDownBlockSpatioTemporal
+            Down = DownBlockSpatioTemporal
+            Mid = UNetMidBlockSpatioTemporal
+            CrossAttnUp = CrossAttnUpBlockSpatioTemporal
+            Up = UpBlockSpatioTemporal
         down_res_samples: List[jax.Array] = [sample]
         for i, block_type in enumerate(cfg.down_block_types):
             is_final = i == cfg.num_blocks - 1
             out_ch = cfg.block_out_channels[i]
             if block_type == "CrossAttnDownBlockSpatioTemporal":
-                sample, res = CrossAttnDownBlockSpatioTemporal(
+                sample, res = CrossAttnDown(
                     out_channels=out_ch, heads=cfg.num_attention_heads[i],
                     num_layers=cfg.layers_per_block,
                     transformer_layers=cfg.transformer_layers_per_block,
@@ -96,7 +117,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     param_dtype=self.param_dtype, name=f"down_blocks_{i}",
                 )(sample, emb, ctx, num_frames, use_temporal_attention_bias, want_stats)
             else:
-                sample, res = DownBlockSpatioTemporal(
+                sample, res = Down(
                     out_channels=out_ch, num_layers=cfg.layers_per_block,
                     add_downsample=not is_final, dtype=self.dtype,
                     param_dtype=self.param_dtype, name=f"down_blocks_{i}",
@@ -108,7 +129,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             down_res_samples = [s + r for s, r in zip(down_res_samples, down_block_residuals)]
 
         # 4. mid (reference :455-461)
-        sample = UNetMidBlockSpatioTemporal(
+        sample = Mid(
             in_channels=cfg.block_out_channels[-1],
             heads=cfg.num_attention_heads[-1],
             transformer_layers=cfg.transformer_layers_per_block,
@@ -128,7 +149,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             down_res_samples = down_res_samples[:-n_res]
             head_idx = cfg.num_blocks - 1 - i
             if block_type == "CrossAttnUpBlockSpatioTemporal":
-                sample = CrossAttnUpBlockSpatioTemporal(
+                sample = CrossAttnUp(
                     out_channels=out_ch, heads=cfg.num_attention_heads[head_idx],
                     num_layers=n_res,
                     transformer_layers=cfg.transformer_layers_per_block,
@@ -137,7 +158,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                 )(sample, res, emb, ctx, num_frames,
                   use_temporal_attention_bias, want_stats)
             else:
-                sample = UpBlockSpatioTemporal(
+                sample = Up(
                     out_channels=out_ch, num_layers=n_res,
                     add_upsample=not is_final, dtype=self.dtype,
                     param_dtype=self.param_dtype, name=f"up_blocks_{i}",

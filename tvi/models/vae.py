@@ -123,6 +123,7 @@ class MidBlockTemporalDecoder(nn.Module):
     def __call__(self, x, num_frames: int):
         st = lambda n: SpatioTemporalResBlock(
             self.channels, eps=1e-6, temporal_eps=1e-5, merge_factor=0.0,
+            switch_spatial_to_temporal_mix=True,
             dtype=self.dtype, param_dtype=self.param_dtype, name=n)
         x = st("resnets_0")(x, None, num_frames)
         b, h, w, c = x.shape
@@ -152,6 +153,7 @@ class UpBlockTemporalDecoder(nn.Module):
         for i in range(self.num_layers):
             x = SpatioTemporalResBlock(
                 self.out_channels, eps=1e-6, temporal_eps=1e-5, merge_factor=0.0,
+                switch_spatial_to_temporal_mix=True,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"resnets_{i}")(x, None, num_frames)
         if self.add_upsample:

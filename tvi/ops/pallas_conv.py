@@ -128,15 +128,18 @@ def _conv_kernel_v3(*refs, bh: int, w: int, h: int, taps: str,
             y = y * jax.nn.sigmoid(y)
         # re-zero the SAME padding (affine maps 0 -> bi != 0): row r of the
         # padded array is valid iff 1 <= hh*bh + r <= h; col w' iff
-        # 1 <= w' <= w.
-        rows = jax.lax.broadcasted_iota(jnp.int32, window.shape[:2], 0) + hh * bh
-        cols = jax.lax.broadcasted_iota(jnp.int32, window.shape[:2], 1)
+        # 1 <= w' <= w.  Masks built as 3D iotas — Mosaic rejects reshaping
+        # a 2D i1 vector to 3D for the [..., None] broadcast.
+        rows = jax.lax.broadcasted_iota(jnp.int32, window.shape, 0) + hh * bh
+        cols = jax.lax.broadcasted_iota(jnp.int32, window.shape, 1)
         valid = ((rows >= 1) & (rows <= h) & (cols >= 1) & (cols <= w))
-        window = jnp.where(valid[..., None], y, 0.0).astype(window.dtype)
-    # three column shifts, lane-concatenated then collapsed: (BH+2, W, 3C)
-    cols3 = jnp.concatenate([window[:, 0:w], window[:, 1:w + 1],
-                             window[:, 2:w + 2]], axis=-1)
-    cols3 = cols3.reshape((window.shape[0]) * w, 3 * c)
+        window = jnp.where(valid, y, 0.0).astype(window.dtype)
+    # three column shifts, collapsed FIRST (the reshape normalizes each
+    # slice's sublane offset — Mosaic cannot lane-concat slices whose
+    # layouts carry different sublane offsets), then lane-concatenated
+    cols = [window[:, dc:dc + w].reshape(window.shape[0] * w, c)
+            for dc in range(3)]
+    cols3 = jnp.concatenate(cols, axis=-1)        # ((BH+2)*W, 3C)
     r = bh * w
     if taps == "k9":
         t = jnp.concatenate([cols3[0:r], cols3[w:w + r],

@@ -55,6 +55,7 @@ def parse_args(argv=None):
     p.add_argument("--use_ema", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=23123134)
     p.add_argument("--mixed_precision", choices=["bf16", "fp32"], default="bf16")
+    p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthetic_data", action="store_true")
     return p.parse_args(argv)
@@ -78,7 +79,8 @@ def main(argv=None):
         learning_rate=args.learning_rate, use_ema=args.use_ema,
         conditioning_dropout_prob=args.conditioning_dropout_prob,
         checkpointing_steps=args.checkpointing_steps,
-        max_train_steps=args.max_train_steps, trainable="controlnet")
+        max_train_steps=args.max_train_steps, trainable="controlnet",
+        gradient_checkpointing=args.gradient_checkpointing)
 
     if args.tiny:
         unet_cfg = TINY_UNET.replace(in_channels=8)
@@ -88,7 +90,9 @@ def main(argv=None):
         # subproject UNet: stock SVD, 8 input channels, single CLIP token
         unet_cfg, vae_cfg, clip_cfg = UNetConfig(in_channels=8), VAEConfig(), CLIPVisionConfig()
 
-    unet = UNetSpatioTemporalConditionModel(unet_cfg, dtype=dtype)
+    unet = UNetSpatioTemporalConditionModel(
+        unet_cfg, dtype=dtype,
+        gradient_checkpointing=cfg.gradient_checkpointing)
     vae = AutoencoderKLTemporalDecoder(vae_cfg, dtype=dtype)
     clip = CLIPVisionModelWithProjection(clip_cfg, dtype=dtype)
     cn = ControlNetSVDModel(ControlNetConfig.from_unet(unet_cfg), dtype=dtype)

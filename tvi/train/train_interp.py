@@ -59,6 +59,8 @@ def parse_args(argv=None):
     p.add_argument("--per_gpu_batch_size", type=int, default=2,
                    help="per-device batch size (reference flag name)")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--max_train_steps", type=int, default=50_000)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--lr_warmup_steps", type=int, default=0)
@@ -142,6 +144,8 @@ def main(argv=None):
         height=args.height, sample_n_frames=args.sample_n_frames,
         per_device_batch_size=args.per_gpu_batch_size,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
+        gradient_checkpointing=args.gradient_checkpointing,
+        gradient_checkpointing=args.gradient_checkpointing,
         max_train_steps=args.max_train_steps, learning_rate=lr,
         lr_warmup_steps=args.lr_warmup_steps,
         checkpointing_steps=args.checkpointing_steps,
@@ -163,7 +167,9 @@ def main(argv=None):
         unet_cfg, vae_cfg, clip_cfg = UNetConfig(), VAEConfig(), CLIPVisionConfig()
         proj_in = args.projector_input_dim
 
-    unet = UNetSpatioTemporalConditionModel(unet_cfg, dtype=dtype)
+    unet = UNetSpatioTemporalConditionModel(
+        unet_cfg, dtype=dtype,
+        gradient_checkpointing=cfg.gradient_checkpointing)
     vae = AutoencoderKLTemporalDecoder(vae_cfg, dtype=dtype)
     clip = CLIPVisionModelWithProjection(clip_cfg, dtype=dtype)
     projector = FeatureProjector(output_dim=unet_cfg.cross_attention_dim, dtype=dtype)
