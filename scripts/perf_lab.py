@@ -651,6 +651,75 @@ exp("mmr_square1k")(lambda: bench_mm_resident("mmr_square1k", m=8192, k=1024,
                                               n=1024, inner=16))
 
 
+def _mm_bf16_kernel(a_ref, b_ref, o_ref):
+    o_ref[...] = jax.lax.dot_general(
+        a_ref[...], b_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT).astype(o_ref.dtype)
+
+
+def bench_mm_pallas(name, m, k, n, bm=1024, bn=512, iters=10,
+                    out_dtype=jnp.bfloat16):
+    """Gridded Pallas bf16 GEMM at model matmul shapes.  mm_int8_pallas
+    (gridded) beat XLA by 1.3x at 8k^3; does the same hold for the bf16
+    transformer-shaped matmuls where XLA sustains only ~50 TF/s?"""
+    a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.bfloat16) * 0.02
+
+    mm = pl.pallas_call(
+        _mm_bf16_kernel,
+        grid=(m // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=int(100 * 1024 * 1024)),
+    )
+
+    @jax.jit
+    def run(a, b):
+        def body(i, cur):
+            c = mm(cur, b)
+            if n >= k:
+                return (cur + c[:, :k].astype(jnp.float32) * 1e-9).astype(cur.dtype)
+            reps = (k + n - 1) // n
+            wide = jnp.concatenate([c] * reps, axis=1)[:, :k]
+            return (cur + wide.astype(jnp.float32) * 1e-9).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    out = run(a, b)
+    float(jnp.float32(out[0, 0]))
+    t0 = time.perf_counter()
+    out = run(a, b)
+    float(jnp.float32(out[0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * m * k * n)
+
+
+exp("mmp_8k")(lambda: bench_mm_pallas("mmp_8k", 8192, 8192, 8192))
+exp("mmp_ff1280")(lambda: bench_mm_pallas("mmp_ff1280", 46080, 1280, 1280))
+exp("mmp_ff320_in")(lambda: bench_mm_pallas("mmp_ff320_in (460800,320,2560)",
+                                            460800, 320, 2560, bm=2048))
+exp("mmp_ff320_out")(lambda: bench_mm_pallas("mmp_ff320_out (460800,1280,320)",
+                                             460800, 1280, 320, bm=2048,
+                                             bn=320))
+exp("mmp_proj320")(lambda: bench_mm_pallas("mmp_proj320 (460800,320,320)",
+                                           460800, 320, 320, bm=2048, bn=320))
+exp("mm_bf16_ff320_in")(lambda: bench_matmul_true(
+    "mm_bf16_ff320_in", 460800, 320, 2560, iters=10))
+exp("mm_bf16_ff320_out")(lambda: bench_matmul_true(
+    "mm_bf16_ff320_out", 460800, 1280, 320, iters=10))
+exp("mm_bf16_proj320")(lambda: bench_matmul_true(
+    "mm_bf16_proj320", 460800, 320, 320, iters=10))
+
+
 def bench_conv_v3(name, n=5, h=576, w=1024, cin=128, cout=128, iters=10,
                   taps="k9", block_rows=0, gn=False):
     from tvi.ops.pallas_conv import conv3x3_pallas_v3, group_norm_silu_conv3x3

@@ -82,7 +82,8 @@ def _q_flash_kernel(x_ref, lns_ref, lnb_ref, wq_ref, k_ref, v_ref, kn_ref,
         precision=jax.lax.Precision.DEFAULT)       # (BQ, 64) fp32
     c = scale * LOG2E
     qn = jnp.sqrt(jnp.sum(jnp.square(q), axis=-1, keepdims=True))
-    shift = qn * (kn_ref[0, 0, 0, 0] * c)
+    from tvi.ops.pallas_attention import SHIFT_BACKOFF
+    shift = qn * (kn_ref[0, 0, 0, 0] * c) - SHIFT_BACKOFF
     k = k_ref[0, 0]                                # (Sk, 64)
     v = v_ref[0, 0]
     logits = jax.lax.dot_general(
@@ -105,7 +106,8 @@ def _q_flash_kernel(x_ref, lns_ref, lnb_ref, wq_ref, k_ref, v_ref, kn_ref,
             p2 = jnp.exp2(lg - m)
             return p2, jnp.sum(p2, axis=-1, keepdims=True)
 
-        p, l = jax.lax.cond(jnp.min(l) < 2.0 ** -96, _rowmax,
+        # threshold scaled by the backoff: l carries a 2^60 factor
+        p, l = jax.lax.cond(jnp.min(l) < 2.0 ** (-96 + SHIFT_BACKOFF), _rowmax,
                             lambda _: (p, l), None)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
