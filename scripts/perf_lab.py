@@ -456,7 +456,12 @@ def bench_matmul_true(name, m, k, n, iters=ITERS, int8=False):
                 c = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32,
                                         precision=jax.lax.Precision.DEFAULT)
-                return (a + c * 1e-9).astype(a.dtype)
+                if n >= k:
+                    dep = c[:, :k]
+                else:
+                    reps = (k + n - 1) // n
+                    dep = jnp.concatenate([c] * reps, axis=1)[:, :k]
+                return (a + dep * 1e-9).astype(a.dtype)
             return jax.lax.fori_loop(0, iters, body, a)
 
     out = run(a, b)
@@ -703,6 +708,60 @@ def bench_mm_pallas(name, m, k, n, bm=1024, bn=512, iters=10,
     report(name, dt, 2 * m * k * n)
 
 
+def bench_fused_ff(name, m=460800, c=320, inner=1280, iters=10, fused=True):
+    """Whole-FF kernel vs unfused LN + geglu-kernel + XLA out-proj chain."""
+    from tvi.ops.pallas_fused_ff import fused_feedforward
+    from tvi.ops.pallas_geglu import geglu_project
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[0], (m, c), jnp.bfloat16)
+    lns = jnp.ones((c,), jnp.float32)
+    lnb = jnp.zeros((c,), jnp.float32)
+    w1 = jax.random.normal(ks[1], (c, 2 * inner), jnp.bfloat16) * 0.03
+    b1 = jnp.zeros((2 * inner,), jnp.bfloat16)
+    w2 = jax.random.normal(ks[2], (inner, c), jnp.bfloat16) * 0.03
+    b2 = jnp.zeros((c,), jnp.bfloat16)
+
+    @jax.jit
+    def run(x):
+        def body(i, cur):
+            if fused:
+                y = fused_feedforward(cur, lns, lnb, w1, b1, w2, b2)
+            else:
+                mean = jnp.mean(cur.astype(jnp.float32), -1, keepdims=True)
+                var = jnp.mean(jnp.square(cur.astype(jnp.float32)), -1,
+                               keepdims=True) - jnp.square(mean)
+                h = ((cur.astype(jnp.float32) - mean)
+                     * jax.lax.rsqrt(var + 1e-5) * lns + lnb).astype(cur.dtype)
+                g = geglu_project(h, w1, b1)
+                y = (g @ w2 + b2) + cur
+            return (0.999 * y).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(x)
+    float(jnp.float32(out[0, 0]))
+    t0 = time.perf_counter()
+    out = run(x)
+    float(jnp.float32(out[0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * m * c * 2 * inner + 2 * m * inner * c)
+
+
+exp("fff_320")(lambda: bench_fused_ff("fff_320 (460800,320,i1280)"))
+exp("fff_320_unfused")(lambda: bench_fused_ff("fff_320_unfused", fused=False))
+exp("fff_640")(lambda: bench_fused_ff("fff_640", m=115200, c=640, inner=2560))
+exp("fff_640_unfused")(lambda: bench_fused_ff("fff_640_unfused", m=115200,
+                                              c=640, inner=2560, fused=False))
+exp("fff_1280")(lambda: bench_fused_ff("fff_1280", m=28800, c=1280,
+                                       inner=5120))
+exp("fff_1280_unfused")(lambda: bench_fused_ff(
+    "fff_1280_unfused", m=28800, c=1280, inner=5120, fused=False))
+exp("unet_fwd_fusedff")(lambda: bench_unet_fwd(
+    "unet_fwd_fusedff", env={"TVI_FUSED_FF": "1"}))
+exp("unet_fwd_nofusedff")(lambda: bench_unet_fwd(
+    "unet_fwd_nofusedff", env={"TVI_FUSED_FF": "0"}))
+
+
 exp("mmp_8k")(lambda: bench_mm_pallas("mmp_8k", 8192, 8192, 8192))
 exp("mmp_ff1280")(lambda: bench_mm_pallas("mmp_ff1280", 46080, 1280, 1280))
 exp("mmp_ff320_in")(lambda: bench_mm_pallas("mmp_ff320_in (460800,320,2560)",
@@ -712,6 +771,20 @@ exp("mmp_ff320_out")(lambda: bench_mm_pallas("mmp_ff320_out (460800,1280,320)",
                                              bn=320))
 exp("mmp_proj320")(lambda: bench_mm_pallas("mmp_proj320 (460800,320,320)",
                                            460800, 320, 320, bm=2048, bn=320))
+exp("mm_bf16_n384")(lambda: bench_matmul_true(
+    "mm_bf16_n384 (460800,320,384)", 460800, 320, 384, iters=10))
+exp("mm_bf16_n512")(lambda: bench_matmul_true(
+    "mm_bf16_n512 (460800,320,512)", 460800, 320, 512, iters=10))
+exp("mm_bf16_n960")(lambda: bench_matmul_true(
+    "mm_bf16_n960 qkv-fused (460800,320,960)", 460800, 320, 960, iters=10))
+exp("mm_bf16_n1024")(lambda: bench_matmul_true(
+    "mm_bf16_n1024 (460800,320,1024)", 460800, 320, 1024, iters=10))
+exp("mm_bf16_out384")(lambda: bench_matmul_true(
+    "mm_bf16_out384 (460800,1280,384)", 460800, 1280, 384, iters=10))
+exp("mm_bf16_k384n384")(lambda: bench_matmul_true(
+    "mm_bf16_k384n384", 460800, 384, 384, iters=10))
+exp("mm_bf16_m46k_n320")(lambda: bench_matmul_true(
+    "mm_bf16_m46k_n320 (46080,1280,320)", 46080, 1280, 320, iters=10))
 exp("mm_bf16_ff320_in")(lambda: bench_matmul_true(
     "mm_bf16_ff320_in", 460800, 320, 2560, iters=10))
 exp("mm_bf16_ff320_out")(lambda: bench_matmul_true(
@@ -872,6 +945,10 @@ exp("pconv_unet320")(lambda: bench_conv_pallas(
     "pconv_unet320 (50,72,128,320)", n=50, h=72, w=128, cin=320, cout=320))
 exp("dec_pconv")(lambda: bench_decode_env(
     "dec_pconv", {"TVI_PALLAS_CONV": "1"}, chunk=5))
+exp("dec_pconv2")(lambda: bench_decode_env(
+    "dec_pconv2", {"TVI_PALLAS_CONV": "2"}, chunk=10, frames=20))
+exp("dec_base10")(lambda: bench_decode_env(
+    "dec_base10", {}, chunk=10, frames=20))
 exp("dec_pconv10")(lambda: bench_decode_env(
     "dec_pconv10", {"TVI_PALLAS_CONV": "1"}, chunk=10, frames=20))
 exp("unet_fwd_pconv")(lambda: bench_unet_fwd(

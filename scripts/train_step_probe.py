@@ -1,0 +1,118 @@
+"""One FULL-SIZE interp train step on the real TPU chip (VERDICT r2 item 5).
+
+Reference workload: src/train.py at the launcher geometry — 512x320,
+sample_n_frames=14, per-device batch 2 (src/train.sh:8-17), temporal-subset
+training with EDM loss.  Runs ONE jitted train step with gradient
+checkpointing (nn.remat over the UNet blocks) and reports step wall time and
+device memory; without remat the full-size backward does not fit 16 GB.
+
+Usage:  python scripts/train_step_probe.py [--no-remat] [--batch N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("TVI_JAX_CACHE", "/tmp/tvi_jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--height", type=int, default=320)
+    ap.add_argument("--width", type=int, default=512)
+    args = ap.parse_args()
+
+    from tvi.core.config import CLIPVisionConfig, TrainConfig, UNetConfig, VAEConfig
+    from tvi.models.clip_vision import CLIPVisionModelWithProjection
+    from tvi.models.projector import FeatureProjector
+    from tvi.models.unet_st import UNetSpatioTemporalConditionModel
+    from tvi.models.vae import AutoencoderKLTemporalDecoder
+    from tvi.train.params import partition_params, temporal_predicate
+    from tvi.train.trainer import create_train_state, make_interp_train_step
+
+    dtype = jnp.bfloat16
+    unet = UNetSpatioTemporalConditionModel(
+        UNetConfig(), dtype=dtype, param_dtype=jnp.float32,
+        gradient_checkpointing=not args.no_remat)
+    vae = AutoencoderKLTemporalDecoder(VAEConfig(), dtype=dtype,
+                                       param_dtype=jnp.float32)
+    clip = CLIPVisionModelWithProjection(CLIPVisionConfig(), dtype=dtype,
+                                         param_dtype=jnp.float32)
+    projector = FeatureProjector(output_dim=UNetConfig().cross_attention_dim,
+                                 dtype=dtype, param_dtype=jnp.float32)
+
+    print("initializing params ...", flush=True)
+    rng = jax.random.PRNGKey(0)
+    r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
+    unet_params = unet.init_params(r1)
+    unet_train, unet_frozen = partition_params(unet_params, temporal_predicate)
+    frozen = {
+        "unet": unet_frozen,
+        "vae": vae.init(r2, jnp.zeros((1, 64, 64, 3), dtype), 1),
+        "clip": clip.init(r3, jnp.zeros((1, 224, 224, 3), dtype)),
+        "mask_token": jax.random.normal(r5, (4,)),
+    }
+    trainable = {
+        "unet": unet_train,
+        "projector": projector.init(r4, jnp.zeros((1, 1, 2048), dtype)),
+    }
+    n_train = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(trainable))
+    n_total = n_train + sum(int(np.prod(x.shape)) for x in jax.tree.leaves(frozen))
+    print(f"trainable {n_train/1e6:.1f}M / total {n_total/1e9:.2f}B params",
+          flush=True)
+
+    cfg = TrainConfig(per_device_batch_size=args.batch,
+                      height=args.height, width=args.width,
+                      sample_n_frames=args.frames,
+                      gradient_checkpointing=not args.no_remat)
+    step_fn, _ = make_interp_train_step(
+        unet=unet, vae=vae, clip=clip, projector=projector, cfg=cfg,
+        dtype=dtype)
+    from tvi.train.trainer import make_optimizer
+    state = create_train_state(trainable, make_optimizer(cfg))
+
+    b, f, h, w = args.batch, args.frames, args.height, args.width
+    rs = np.random.RandomState(0)
+    video = (rs.rand(b, f, h, w, 3).astype(np.float32) * 2 - 1)
+    batch = {"video": video, "first": video[:, 0], "end": video[:, -1]}
+
+    print("compiling + running step 1 (AOT compile may take many minutes)",
+          flush=True)
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(1))
+    loss = float(metrics["loss"])
+    t1 = time.perf_counter()
+    print(f"step 1 (incl. compile): {t1 - t0:.1f} s, loss={loss:.5f}",
+          flush=True)
+    assert np.isfinite(loss)
+
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(2))
+    loss = float(metrics["loss"])  # scalar readback = tunnel-safe sync
+    t1 = time.perf_counter()
+    print(f"step 2 (steady state): {t1 - t0:.2f} s, loss={loss:.5f}",
+          flush=True)
+
+    try:
+        stats = jax.devices()[0].memory_stats()
+        peak = stats.get("peak_bytes_in_use", 0) / 1e9
+        print(f"device peak memory: {peak:.2f} GB "
+              f"(limit {stats.get('bytes_limit', 0)/1e9:.1f} GB)", flush=True)
+    except Exception as e:  # tunnel backends may not expose stats
+        print(f"memory_stats unavailable: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

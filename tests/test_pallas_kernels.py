@@ -282,3 +282,63 @@ class TestFusedTemporalSelfAttention:
         assert not fused_temporal_eligible(100, 25, 320, 320, 320, False)     # tiny R
         assert not fused_temporal_eligible(18432, 25, 320, 320, 320, True)    # qkv bias
         assert not fused_temporal_eligible(18432, 25, 320, 300, 320, False)   # ragged
+
+
+class TestFusedFeedForward:
+    """Whole-FF kernel (LN + GEGLU + out-proj + residual) vs the unfused
+    reference math (tvi/ops/pallas_fused_ff.py)."""
+
+    @pytest.mark.parametrize("c,inner,residual,with_ln", [
+        (320, 1280, True, True),
+        (128, 512, True, False),
+        (256, 1024, False, True),
+    ])
+    def test_matches_unfused(self, c, inner, residual, with_ln):
+        from tvi.ops.pallas_fused_ff import fused_feedforward
+
+        rng = jax.random.PRNGKey(0)
+        ks = jax.random.split(rng, 6)
+        m = 512
+        x = jax.random.normal(ks[0], (m, c), jnp.float32)
+        lns = jax.random.normal(ks[1], (c,)) * 0.2 + 1.0 if with_ln else None
+        lnb = jax.random.normal(ks[2], (c,)) * 0.2 if with_ln else None
+        w1 = jax.random.normal(ks[3], (c, 2 * inner)) * c ** -0.5
+        b1 = jax.random.normal(ks[4], (2 * inner,)) * 0.1
+        w2 = jax.random.normal(ks[5], (inner, c)) * inner ** -0.5
+        b2 = jnp.zeros((c,))
+
+        h = x
+        if with_ln:
+            import flax.linen as nn
+            mean = h.mean(-1, keepdims=True)
+            var = ((h - mean) ** 2).mean(-1, keepdims=True)
+            h = (h - mean) / jnp.sqrt(var + 1e-5) * lns + lnb
+        pre = h @ w1 + b1
+        val, gate = pre[:, :inner], pre[:, inner:]
+        gated = val * jax.nn.gelu(gate, approximate=False)
+        want = gated @ w2 + b2
+        if residual:
+            want = want + x
+
+        got = fused_feedforward(x, lns, lnb, w1, b1, w2, b2,
+                                residual=residual, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_ragged_rows(self):
+        from tvi.ops.pallas_fused_ff import fused_feedforward
+        c, inner = 128, 512
+        rng = jax.random.PRNGKey(1)
+        x = jax.random.normal(rng, (300, c), jnp.float32)  # not a BM multiple
+        w1 = jax.random.normal(rng, (c, 2 * inner)) * 0.05
+        b1 = jnp.zeros((2 * inner,))
+        w2 = jax.random.normal(rng, (inner, c)) * 0.05
+        b2 = jnp.zeros((c,))
+        got = fused_feedforward(x, None, None, w1, b1, w2, b2,
+                                residual=True, interpret=True)
+        pre = x @ w1
+        val, gate = pre[:, :inner], pre[:, inner:]
+        want = val * jax.nn.gelu(gate, approximate=False) @ w2 + x
+        assert got.shape == (300, c)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-4)

@@ -64,12 +64,16 @@ class FusedGroupNorm(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_params: bool = False):
         from tvi.ops.groupnorm import group_norm_silu
 
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        if return_params:
+            # caller fuses the GN(+SiLU) elsewhere (e.g. into a conv
+            # kernel's prologue); param tree unchanged
+            return scale, bias
         return group_norm_silu(x.astype(self.dtype), scale, bias,
                                self.num_groups, eps=self.epsilon,
                                apply_silu=self.use_silu)
@@ -244,7 +248,11 @@ class PallasConv3x3(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, gn=None) -> jax.Array:
+        """gn: optional (scale, bias, num_groups, eps) — computes
+        conv3x3(silu(group_norm(x))), fusing GN-apply+SiLU into the v3
+        Pallas kernel's prologue under TVI_PALLAS_CONV=2 (decode-shape
+        eligible), otherwise falling back to the unfused identical math."""
         import os
 
         cin = x.shape[-1]
@@ -255,21 +263,39 @@ class PallasConv3x3(nn.Module):
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
         bias = bias.astype(self.dtype)
-        if (jax.default_backend() not in ("cpu",)
-                and os.environ.get("TVI_PALLAS_CONV")):
+        mode = os.environ.get("TVI_PALLAS_CONV") \
+            if jax.default_backend() not in ("cpu",) else None
+        lead = x.shape[:-3]
+        x4 = x.reshape((-1,) + x.shape[-3:])
+        if gn is not None:
+            gn_scale, gn_bias, gn_groups_, gn_eps = gn
+            if mode == "2":
+                from tvi.ops.pallas_conv import (
+                    conv3x3_v3_eligible,
+                    group_norm_silu_conv3x3,
+                )
+
+                if conv3x3_v3_eligible(x4.shape, self.features):
+                    out = group_norm_silu_conv3x3(
+                        x4, gn_scale, gn_bias, gn_groups_, kernel, bias,
+                        eps=gn_eps)
+                    return out.reshape(lead + out.shape[1:])
+            from tvi.ops.groupnorm import group_norm_silu
+
+            x = group_norm_silu(x, gn_scale, gn_bias, gn_groups_, eps=gn_eps)
+            x4 = x.reshape((-1,) + x.shape[-3:])
+        if mode:
             from tvi.ops.pallas_conv import conv3x3_eligible, conv3x3_pallas
 
-            lead = x.shape[:-3]
-            x4 = x.reshape((-1,) + x.shape[-3:])
             if conv3x3_eligible(x4.shape, self.features):
                 out = conv3x3_pallas(x4, kernel, bias)
                 return out.reshape(lead + out.shape[1:])
         return jax.lax.conv_general_dilated(
-            x.reshape((-1,) + x.shape[-3:]), kernel,
+            x4, kernel,
             window_strides=(1, 1), padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=self.dtype,
-        ).reshape(x.shape[:-1] + (self.features,)) + bias
+        ).reshape(lead + x4.shape[1:-1] + (self.features,)) + bias
 
 
 class LayerNormParams(nn.Module):

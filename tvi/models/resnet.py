@@ -78,21 +78,29 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
         in_channels = x.shape[-1]
-        h = FusedGroupNorm(num_groups=gn_groups(in_channels), epsilon=self.eps,
-                           use_silu=True, dtype=self.dtype,
-                           param_dtype=self.param_dtype, name="norm1")(x)
+        # GN(+SiLU) params are handed to the conv module, which fuses the
+        # apply pass into the v3 Pallas kernel's prologue when
+        # TVI_PALLAS_CONV=2 and the shape is decode-eligible (identical
+        # unfused math otherwise).  Param tree unchanged.
+        s1, b1 = FusedGroupNorm(num_groups=gn_groups(in_channels), epsilon=self.eps,
+                                use_silu=True, dtype=self.dtype,
+                                param_dtype=self.param_dtype, name="norm1")(
+                                    x, return_params=True)
         h = PallasConv3x3(self.out_channels, dtype=self.dtype,
-                      param_dtype=self.param_dtype, name="conv1")(h)
+                          param_dtype=self.param_dtype, name="conv1")(
+                              x, gn=(s1, b1, gn_groups(in_channels), self.eps))
         if temb is not None:
             temb_proj = nn.Dense(self.out_channels, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
                                  name="time_emb_proj")(nn.silu(temb))
             h = h + temb_proj[:, None, None, :]
-        h = FusedGroupNorm(num_groups=gn_groups(self.out_channels), epsilon=self.eps,
-                           use_silu=True, dtype=self.dtype,
-                           param_dtype=self.param_dtype, name="norm2")(h)
+        s2, b2 = FusedGroupNorm(num_groups=gn_groups(self.out_channels), epsilon=self.eps,
+                                use_silu=True, dtype=self.dtype,
+                                param_dtype=self.param_dtype, name="norm2")(
+                                    h, return_params=True)
         h = PallasConv3x3(self.out_channels, dtype=self.dtype,
-                      param_dtype=self.param_dtype, name="conv2")(h)
+                          param_dtype=self.param_dtype, name="conv2")(
+                              h, gn=(s2, b2, gn_groups(self.out_channels), self.eps))
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         param_dtype=self.param_dtype, name="conv_shortcut")(x)

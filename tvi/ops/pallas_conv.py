@@ -240,6 +240,25 @@ def conv3x3_pallas_v3(x: jax.Array, w: jax.Array, b: jax.Array,
     return out[:, :h]
 
 
+def conv3x3_v3_eligible(shape, c_out: int) -> bool:
+    """v3 kernel gate: same large-spatial decode shapes as v1 (the tap
+    construction needs the W-collapse alignment; small-W shapes lose to
+    XLA), plus the VMEM budget for the lane-concatenated tap matrix."""
+    n, h, w, c = shape
+    if w % 16 or w < 256 or h < 8:
+        return False
+    bh = _pick_block_rows(h, w)
+    r = bh * w
+    vmem = (9 * c * c_out * 2              # weights (9C, Co)
+            + 2 * bh * (w + 2) * c * 2     # two input views
+            + 3 * (bh + 2) * w * c * 2     # per-dc collapsed cols
+            + (bh + 2) * w * 3 * c * 2     # cols3
+            + r * 9 * c * 2                # tap matrix
+            + r * c_out * 4                # fp32 accumulator
+            + r * c_out * 2)               # output block
+    return vmem < 100 * 1024 * 1024
+
+
 def group_norm_silu_conv3x3(x: jax.Array, gamma: jax.Array, beta: jax.Array,
                             num_groups: int, w: jax.Array, b: jax.Array,
                             eps: float = 1e-5, taps: str = "k9",
