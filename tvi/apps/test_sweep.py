@@ -10,6 +10,11 @@ schema from src/test.py:361-403).
 
     python -m tvi.apps.test_sweep --assets ./assets --output_dir Result/run \
         [--with_no_track] [--without_end_embedding] ... [--tiny --steps 2]
+
+    CPU note: pass a small geometry with --tiny (e.g. --height 64 --width 64
+    --num_frames 3).  On CPU the flash kernels are ineligible and the XLA
+    fallback materializes full attention logits; the default 512x320
+    geometry exhausts host memory.
 """
 
 from __future__ import annotations

@@ -120,11 +120,15 @@ class MaybeQuantDense(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_params: bool = False):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (x.shape[-1], self.features), self.param_dtype)
         bias = (self.param("bias", nn.initializers.zeros, (self.features,),
                            self.param_dtype) if self.use_bias else None)
+        if return_params:
+            # caller consumes the raw weights (e.g. the fused whole-FF
+            # kernel); x only supplies the input feature dim
+            return kernel, bias
         x = x.astype(self.dtype)
         if serve_int8():
             from tvi.ops.quant import dense_w8a8, quantize_cols
@@ -149,12 +153,14 @@ class _GegluProj(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x2d: jax.Array) -> jax.Array:
+    def __call__(self, x2d: jax.Array, return_params: bool = False):
         k = x2d.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (k, self.features), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           self.param_dtype)
+        if return_params:
+            return kernel, bias
         x2d = x2d.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
         bias = bias.astype(self.dtype)
@@ -185,7 +191,16 @@ class _GegluProj(nn.Module):
 
 class FeedForward(nn.Module):
     """GEGLU feed-forward (reference attention.py:481-535): project to
-    mult*dim*2, split, x*gelu(gate), project back."""
+    mult*dim*2, split, x*gelu(gate), project back.
+
+    ``pre_ln``/``residual``: the caller may hand in its LayerNorm params
+    (LayerNormParams tree, identical to nn.LayerNorm) and request the
+    residual add — on TPU the ENTIRE sublayer (LN -> GEGLU -> out-proj ->
+    +residual) then runs as one Pallas kernel with resident weights
+    (tvi/ops/pallas_fused_ff.py; measured 1.31x at C=320, 1.08x at C=640
+    over the LN + geglu-kernel + XLA-matmul chain).  The fallback applies
+    identical math unfused.
+    """
 
     dim_out: Optional[int] = None
     mult: int = 4
@@ -193,17 +208,50 @@ class FeedForward(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, pre_ln=None, residual: bool = False) -> jax.Array:
+        import os
+
         dim = x.shape[-1]
         inner = dim * self.mult
+        out_f = self.dim_out or dim
         lead = x.shape[:-1]
+        x2 = x.reshape(-1, dim)
+
+        from tvi.ops.attention import _flash_enabled
+        from tvi.ops.pallas_fused_ff import fused_ff_eligible, fused_feedforward
+
+        fused_ok = (
+            _flash_enabled() and not serve_int8()
+            and os.environ.get("TVI_FUSED_FF", "1") != "0"
+            and (not residual or out_f == dim)
+            and fused_ff_eligible(x2.shape[0], dim, inner * 2, out_f))
+        if fused_ok:
+            w1, b1 = _GegluProj(inner * 2, dtype=self.dtype,
+                                param_dtype=self.param_dtype,
+                                name="proj_geglu")(x2, return_params=True)
+            w2, b2 = MaybeQuantDense(out_f, dtype=self.dtype,
+                                     param_dtype=self.param_dtype,
+                                     name="proj_out")(
+                                         jnp.zeros((1, inner), self.dtype),
+                                         return_params=True)
+            lns, lnb = pre_ln if pre_ln is not None else (None, None)
+            y = fused_feedforward(x2.astype(self.dtype), lns, lnb,
+                                  w1.astype(self.dtype), b1.astype(self.dtype),
+                                  w2.astype(self.dtype), b2.astype(self.dtype),
+                                  residual=residual)
+            return y.reshape(lead + (out_f,))
+
+        h = x
+        if pre_ln is not None:
+            h = layer_norm(h, pre_ln[0], pre_ln[1])
         hidden = _GegluProj(inner * 2, dtype=self.dtype,
                             param_dtype=self.param_dtype,
-                            name="proj_geglu")(x.reshape(-1, dim))
+                            name="proj_geglu")(h.reshape(-1, dim))
         hidden = hidden.reshape(lead + (inner,))
-        return MaybeQuantDense(self.dim_out or dim, dtype=self.dtype,
-                               param_dtype=self.param_dtype,
-                               name="proj_out")(hidden)
+        out = MaybeQuantDense(out_f, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name="proj_out")(hidden)
+        return out + x if residual else out
 
 
 class AlphaBlender(nn.Module):
@@ -473,9 +521,21 @@ class Attention(nn.Module):
                 return dense_w8a8(x, wi, ws, bias=b_, out_dtype=self.dtype)
         else:
             apply_dense = lambda x, w, b_: (x @ w if b_ is None else x @ w + b_)
-        q = apply_dense(hidden_states, wq, bq)
-        k = apply_dense(context, wk, bk)
-        v = apply_dense(context, wv, bv)
+        if encoder_hidden_states is None and not serve_int8():
+            # self-attention: ONE (C, 3*inner) projection instead of three
+            # thin-N matmuls — XLA's thin-N GEMMs sit on a ~17.6 TF/s cliff
+            # at N=320 while N=960 runs at 50 (scripts/perf_lab.py
+            # mm_bf16_proj320 / mm_bf16_n960); the trace-time weight concat
+            # is tiny and the param tree is unchanged.
+            wqkv = jnp.concatenate([wq, wk, wv], axis=1)
+            qkv = hidden_states @ wqkv
+            if bq is not None:
+                qkv = qkv + jnp.concatenate([bq, bk, bv])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = apply_dense(hidden_states, wq, bq)
+            k = apply_dense(context, wk, bk)
+            v = apply_dense(context, wv, bv)
 
         b, sq = q.shape[0], q.shape[1]
         sk = k.shape[1]

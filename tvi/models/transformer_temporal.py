@@ -72,8 +72,14 @@ class BasicTransformerBlock(nn.Module):
                 hidden_states = attn("attn2")(
                     ln("norm2")(hidden_states), encoder_hidden_states) + hidden_states
         if not ablated("ff"):
+            from tvi.models.layers import LayerNormParams
+
+            norm3 = LayerNormParams(features=hidden_states.shape[-1],
+                                    param_dtype=self.param_dtype,
+                                    name="norm3")()
             hidden_states = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype,
-                                        name="ff")(ln("norm3")(hidden_states)) + hidden_states
+                                        name="ff")(hidden_states, pre_ln=norm3,
+                                                   residual=True)
         return hidden_states
 
 
@@ -101,11 +107,17 @@ class TemporalBasicTransformerBlock(nn.Module):
     ):
         ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                     param_dtype=self.param_dtype, name=n)
-        residual = hidden_states
         if not ablated("ff"):
+            from tvi.models.layers import LayerNormParams
+
+            norm_in = LayerNormParams(features=hidden_states.shape[-1],
+                                      param_dtype=self.param_dtype,
+                                      name="norm_in")()
+            # is_res: dims equal -> residual folded into the fused kernel
             hidden_states = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype,
-                                        name="ff_in")(ln("norm_in")(hidden_states))
-            hidden_states = hidden_states + residual  # is_res: dims equal
+                                        name="ff_in")(hidden_states,
+                                                      pre_ln=norm_in,
+                                                      residual=True)
 
 
         attn = lambda n: Attention(heads=self.heads, dim_head=self.dim_head,
@@ -129,8 +141,14 @@ class TemporalBasicTransformerBlock(nn.Module):
             hidden_states = out + hidden_states
 
         if not ablated("ff"):
+            from tvi.models.layers import LayerNormParams
+
+            norm3 = LayerNormParams(features=hidden_states.shape[-1],
+                                    param_dtype=self.param_dtype,
+                                    name="norm3")()
             hidden_states = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype,
-                                        name="ff")(ln("norm3")(hidden_states)) + hidden_states
+                                        name="ff")(hidden_states, pre_ln=norm3,
+                                                   residual=True)
         return hidden_states
 
 

@@ -123,6 +123,11 @@ def fused_ff_eligible(m: int, c: int, inner2: int, c_out: int) -> bool:
     # [hidden | gate] split
     if m < BM or c % 8 or inner % 128 or c_out % 8:
         return False
+    # measured (scripts/perf_lab.py fff_*): 76.9 vs 58.9 TF/s at C=320,
+    # 107.5 vs 99.2 at C=640, but 104.3 vs 107.3 at C=1280 — the 39 MB
+    # resident weight set crowds out pipelining.  Gate on weight bytes.
     weights = (c * inner2 + inner * c_out) * 2
+    if weights > 20 * 1024 * 1024:
+        return False
     work = BM * (2 * inner * 4 + inner * 2 + (c + c_out) * 4)
     return weights + work < 96 * 1024 * 1024
