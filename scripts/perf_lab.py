@@ -771,6 +771,48 @@ exp("mmp_ff320_out")(lambda: bench_mm_pallas("mmp_ff320_out (460800,1280,320)",
                                              bn=320))
 exp("mmp_proj320")(lambda: bench_mm_pallas("mmp_proj320 (460800,320,320)",
                                            460800, 320, 320, bm=2048, bn=320))
+def bench_matmul_3d(name, b, s, k, n, iters=10, transpose_b=False):
+    """The model's projections are (B, S, K) x (K, N) — does XLA tile the
+    3D/batched form differently from the equivalent 2D (B*S, K) GEMM?"""
+    a = jax.random.normal(jax.random.PRNGKey(0), (b, s, k), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1),
+                          (n, k) if transpose_b else (k, n), jnp.bfloat16)
+
+    @jax.jit
+    def run(a, w):
+        def body(i, a):
+            if transpose_b:
+                c = jax.lax.dot_general(a, w, (((2,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=jax.lax.Precision.DEFAULT)
+            else:
+                c = jax.lax.dot_general(a, w, (((2,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=jax.lax.Precision.DEFAULT)
+            if n >= k:
+                dep = c[..., :k]
+            else:
+                reps = (k + n - 1) // n
+                dep = jnp.concatenate([c] * reps, axis=-1)[..., :k]
+            return (a + dep * 1e-9).astype(a.dtype)
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    out = run(a, w)
+    float(jnp.float32(out[0, 0, 0]))
+    t0 = time.perf_counter()
+    out = run(a, w)
+    float(jnp.float32(out[0, 0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * b * s * k * n)
+
+
+exp("mm3d_proj320")(lambda: bench_matmul_3d("mm3d_proj320 (50,9216,320)x(320,320)",
+                                            50, 9216, 320, 320))
+exp("mm3d_out320")(lambda: bench_matmul_3d("mm3d_out320 (50,9216,1280)x(1280,320)",
+                                           50, 9216, 1280, 320))
+exp("mmT_proj320")(lambda: bench_matmul_3d("mmT_proj320 wT-layout",
+                                           50, 9216, 320, 320,
+                                           transpose_b=True))
 exp("mm_bf16_n384")(lambda: bench_matmul_true(
     "mm_bf16_n384 (460800,320,384)", 460800, 320, 384, iters=10))
 exp("mm_bf16_n512")(lambda: bench_matmul_true(
