@@ -342,3 +342,54 @@ class TestFusedFeedForward:
         assert got.shape == (300, c)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4, rtol=2e-4)
+
+
+class TestFusedCrossAttention:
+    """Small-context cross-attention kernel (LN + q-proj + attn + out-proj
+    + residual) vs unfused reference math (tvi/ops/pallas_fused_cross.py)."""
+
+    @pytest.mark.parametrize("g,rpg,c,heads,s_ctx,with_ln,residual", [
+        (4, 256, 320, 5, 3, True, True),     # spatial attn2-like
+        (2, 512, 128, 2, 2, True, True),     # temporal attn2-like
+        (3, 128, 64, 1, 1, False, False),    # single-token context
+    ])
+    def test_matches_unfused(self, g, rpg, c, heads, s_ctx, with_ln, residual):
+        from tvi.ops.pallas_fused_cross import (
+            fused_cross_attention,
+            to_head_major_ctx,
+        )
+        d = 64
+        inner = heads * d
+        ks = jax.random.split(jax.random.PRNGKey(0), 8)
+        m = g * rpg
+        x = jax.random.normal(ks[0], (m, c), jnp.float32)
+        lns = jax.random.normal(ks[1], (c,)) * 0.2 + 1.0 if with_ln else None
+        lnb = jax.random.normal(ks[2], (c,)) * 0.2 if with_ln else None
+        wq = jax.random.normal(ks[3], (c, inner)) * c ** -0.5
+        ck = jax.random.normal(ks[4], (g, s_ctx, inner))
+        cv = jax.random.normal(ks[5], (g, s_ctx, inner))
+        wo = jax.random.normal(ks[6], (inner, c)) * inner ** -0.5
+        bo = jax.random.normal(ks[7], (c,)) * 0.1
+
+        h = x
+        if with_ln:
+            mean = h.mean(-1, keepdims=True)
+            var = ((h - mean) ** 2).mean(-1, keepdims=True)
+            h = (h - mean) / jnp.sqrt(var + 1e-5) * lns + lnb
+        q = (h @ wq).reshape(g, rpg, heads, d)
+        kh = ck.reshape(g, s_ctx, heads, d)
+        vh = cv.reshape(g, s_ctx, heads, d)
+        logits = jnp.einsum("grhd,gshd->ghrs", q, kh) * d ** -0.5
+        p = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("ghrs,gshd->grhd", p, vh).reshape(m, inner)
+        want = o @ wo + bo
+        if residual:
+            want = want + x
+
+        got = fused_cross_attention(
+            x, lns, lnb, wq, to_head_major_ctx(ck, heads),
+            to_head_major_ctx(cv, heads), wo, bo, heads=heads,
+            scale=d ** -0.5, rows_per_group=rpg, residual=residual,
+            bm=min(128, rpg), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-4, rtol=3e-4)

@@ -425,10 +425,11 @@ class Attention(nn.Module):
     def __call__(
         self,
         hidden_states: jax.Array,                      # (B, Sq, C)
-        encoder_hidden_states: Optional[jax.Array] = None,  # (B, Sk, Ck)
+        encoder_hidden_states: Optional[jax.Array] = None,  # (B or G, Sk, Ck)
         bias: Optional[jax.Array] = None,
         want_stats: bool = False,
         pre_ln: Optional[Tuple[jax.Array, jax.Array]] = None,
+        residual_add: bool = False,
     ):
         import os
 
@@ -452,7 +453,8 @@ class Attention(nn.Module):
         inner_ = self.heads * self.dim_head
         fused_spatial_ok = (
             encoder_hidden_states is None and bias is None and not want_stats
-            and not self.residual_connection and self.norm_num_groups is None
+            and not self.residual_connection and not residual_add
+            and self.norm_num_groups is None
             and hidden_states.ndim == 3 and hidden_states.shape[1] > 64
             and self.dim_head == 64 and _flash_enabled() and not serve_int8()
             and bool(os.environ.get("TVI_FUSED_SPATIAL"))
@@ -460,14 +462,53 @@ class Attention(nn.Module):
                 hidden_states.shape[0], hidden_states.shape[1],
                 hidden_states.shape[2], self.heads, inner_, self.qkv_bias))
 
-        if pre_ln is not None and not fused_spatial_ok:
-            # the caller's LayerNorm (norm1) — applied functionally here;
-            # the fused path folds it into the kernels instead
-            hidden_states = layer_norm(hidden_states, pre_ln[0], pre_ln[1])
-
-        context = hidden_states if encoder_hidden_states is None else encoder_hidden_states
         inner = self.heads * self.dim_head
         out_features = self.out_dim or residual.shape[-1]
+
+        # Small-context cross-attention (attn2: 3 CLIP/projector tokens
+        # spatially, 2 first-frame tokens temporally): the q/out
+        # projections are thin-N matmuls on XLA's ~17.6 TF/s cliff, so the
+        # whole sublayer (LN + q-proj + attn + out-proj + residual) runs as
+        # one Pallas kernel (tvi/ops/pallas_fused_cross.py).  The context
+        # may arrive GROUPED — shape (G, S_ctx, D) with G dividing the
+        # hidden batch: every B'/G consecutive hidden rows share one
+        # context row-group (the temporal path passes the compact
+        # per-CFG-batch context instead of a per-pixel broadcast).
+        fused_cross_ok = False
+        if (encoder_hidden_states is not None and bias is None
+                and not want_stats and not self.residual_connection
+                and self.norm_num_groups is None and not serve_int8()
+                and hidden_states.ndim == 3
+                and encoder_hidden_states.ndim == 3
+                and self.dim_head == 64 and not self.qkv_bias
+                and _flash_enabled()
+                and not os.environ.get("TVI_DISABLE_FUSED_CROSS")
+                and hidden_states.shape[0] % encoder_hidden_states.shape[0] == 0):
+            from tvi.ops.pallas_fused_cross import fused_cross_eligible
+
+            bsz, seq, cdim = hidden_states.shape
+            g = encoder_hidden_states.shape[0]
+            rpg = (bsz // g) * seq
+            fused_cross_ok = residual_add and fused_cross_eligible(
+                bsz * seq, cdim, inner, out_features,
+                encoder_hidden_states.shape[1], rpg, residual_add)
+
+        if pre_ln is not None and not fused_spatial_ok and not fused_cross_ok:
+            # the caller's LayerNorm (norm1/norm2) — applied functionally
+            # here; the fused paths fold it into the kernels instead
+            hidden_states = layer_norm(hidden_states, pre_ln[0], pre_ln[1])
+
+        if (encoder_hidden_states is not None and not fused_cross_ok
+                and encoder_hidden_states.ndim == 3
+                and encoder_hidden_states.shape[0] != hidden_states.shape[0]
+                and hidden_states.shape[0] % encoder_hidden_states.shape[0] == 0):
+            # grouped context on the unfused path: materialize the repeat
+            encoder_hidden_states = jnp.repeat(
+                encoder_hidden_states,
+                hidden_states.shape[0] // encoder_hidden_states.shape[0],
+                axis=0)
+
+        context = hidden_states if encoder_hidden_states is None else encoder_hidden_states
         dp = lambda n, i, o, use_b: _DenseParams(
             features=o, in_features=i, use_bias=use_b,
             param_dtype=self.param_dtype, name=n)()
@@ -481,9 +522,29 @@ class Attention(nn.Module):
         hidden_states = hidden_states.astype(self.dtype)
         context = context.astype(self.dtype)
 
+        if fused_cross_ok:
+            from tvi.ops.pallas_fused_cross import (
+                fused_cross_attention,
+                to_head_major_ctx,
+            )
+
+            bsz, seq, cdim = hidden_states.shape
+            ck = context @ wk                        # (G, S_ctx, inner)
+            cv = context @ wv
+            lns, lnb = pre_ln if pre_ln is not None else (None, None)
+            out2 = fused_cross_attention(
+                hidden_states.reshape(bsz * seq, cdim), lns, lnb, wq,
+                to_head_major_ctx(ck, self.heads),
+                to_head_major_ctx(cv, self.heads), wo, bo,
+                heads=self.heads, scale=self.dim_head ** -0.5,
+                rows_per_group=(bsz // context.shape[0]) * seq,
+                eps=self.eps, residual=True)
+            return out2.reshape(bsz, seq, out_features)
+
         fused_ok = (
             encoder_hidden_states is None and bias is None and not want_stats
-            and not self.residual_connection and self.norm_num_groups is None
+            and not self.residual_connection and not residual_add
+            and self.norm_num_groups is None
             and pre_ln is None and not serve_int8()
             and hidden_states.ndim == 3 and hidden_states.shape[1] <= 64
             and _flash_enabled()
@@ -552,6 +613,10 @@ class Attention(nn.Module):
         out = apply_dense(out, wo, bo)
         if self.residual_connection:
             out = out + residual
+        if residual_add:
+            # caller-requested sublayer residual (folded into the fused
+            # cross kernel on the TPU path); residual is the pre-LN input
+            out = out + residual.astype(out.dtype)
         if want_stats:
             return out, stats
         return out

@@ -69,8 +69,14 @@ class BasicTransformerBlock(nn.Module):
             hidden_states = attn("attn1")(
                 hidden_states, pre_ln=norm1) + hidden_states
             if self.cross_attention:
+                # norm2 + attn2 + residual fold into the fused small-context
+                # cross kernel on TPU (tvi/ops/pallas_fused_cross.py)
+                norm2 = LayerNormParams(features=hidden_states.shape[-1],
+                                        param_dtype=self.param_dtype,
+                                        name="norm2")()
                 hidden_states = attn("attn2")(
-                    ln("norm2")(hidden_states), encoder_hidden_states) + hidden_states
+                    hidden_states, encoder_hidden_states,
+                    pre_ln=norm2, residual_add=True)
         if not ablated("ff"):
             from tvi.models.layers import LayerNormParams
 
@@ -132,13 +138,22 @@ class TemporalBasicTransformerBlock(nn.Module):
 
         stats = None
         if self.cross_attention and not (ablated("temporal_attn") or ablated("temporal_cross")):
+            from tvi.models.layers import LayerNormParams
+
+            norm2 = LayerNormParams(features=hidden_states.shape[-1],
+                                    param_dtype=self.param_dtype,
+                                    name="norm2")()
+            # residual + norm2 fold into the fused cross kernel on TPU;
+            # the context may arrive grouped (G, S_ctx, D) with G dividing
+            # the row batch (the compact per-CFG-batch first-frame tokens)
             out = attn("attn2")(
-                ln("norm2")(hidden_states), encoder_hidden_states,
-                bias=temporal_bias, want_stats=want_stats)
+                hidden_states, encoder_hidden_states,
+                bias=temporal_bias, want_stats=want_stats,
+                pre_ln=norm2, residual_add=True)
             if want_stats:
                 out, stats = out
                 self.sow("intermediates", "attn_stats", stats)
-            hidden_states = out + hidden_states
+            hidden_states = out
 
         if not ablated("ff"):
             from tvi.models.layers import LayerNormParams
@@ -228,12 +243,12 @@ class TransformerSpatioTemporalModel(nn.Module):
             mix = mix.reshape(batch_size, num_frames, height * width, inner_dim)
             mix = jnp.swapaxes(mix, 1, 2).reshape(batch_size * height * width,
                                                   num_frames, inner_dim)
-            # per-pixel temporal context: (B, S_ctx, D) -> (B, 1, S_ctx, D)
-            # broadcast over pixels without materializing
-            t_ctx = jnp.broadcast_to(
-                temporal_ctx[:, None],
-                (batch_size, height * width) + temporal_ctx.shape[1:],
-            ).reshape(batch_size * height * width, *temporal_ctx.shape[1:])
+            # per-pixel temporal context: passed GROUPED as the compact
+            # (B, S_ctx, D) — all B*S pixel rows of batch b share ctx[b];
+            # Attention either consumes the groups directly (fused cross
+            # kernel picks its group's K/V via the block index map) or
+            # repeats batch-major on the fallback path.
+            t_ctx = temporal_ctx
             mix = TemporalBasicTransformerBlock(
                 heads=self.heads, dim_head=self.dim_head,
                 dtype=self.dtype, param_dtype=self.param_dtype,

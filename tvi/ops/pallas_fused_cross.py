@@ -1,0 +1,162 @@
+"""Fused small-context cross-attention Pallas kernel: LN -> Q-projection ->
+S_ctx-token attention -> out-projection -> +residual in ONE kernel.
+
+Why: both cross-attentions in the SVD transformer blocks attend to a tiny
+context — 3 CLIP/projector tokens spatially (BasicTransformerBlock.attn2)
+and the 2 first-frame tokens temporally (TemporalBasicTransformerBlock
+.attn2, reference src/models/transformer_temporal.py:279-297).  The
+attention itself is trivial, but the q- and out-projections are (M, C, C)
+thin-N matmuls sitting on XLA's ~17.6 TF/s cliff (PERF.md round-3
+mm_bf16_proj320), plus an LN pass and a residual pass — ~14 ms per call at
+the 320-wide headline shapes.  This kernel keeps a row block resident:
+
+    y = x + Wo( softmax(ln(x) Wq . K_ctx^T) V_ctx ) + bo
+
+with K_ctx/V_ctx precomputed (tiny: G groups x S_ctx tokens) and resident
+per program, and the thin matmuls as in-VMEM dots.
+
+Context grouping: rows of x are grouped — all ``rows_per_group``
+consecutive rows share one context (spatially the group is a batch-frame,
+temporally a whole CFG-batch of pixels).  The kernel picks its group's K/V
+via the BlockSpec index map, so the broadcast context never materializes.
+
+Replaces the reference's attn2 + norm2 pairs (vendored attention.py:206-229
+and :455-460; attention math AttnProcessor2_0, attention_processor.py:1178)
+at serving shapes.  Exact softmax (row max over S_ctx), fp32 stats.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BM = 512
+
+
+def _ln_rows(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def _fused_cross_kernel(x_ref, lns_ref, lnb_ref, wq_ref, ck_ref, cv_ref,
+                        wo_ref, bo_ref, o_ref, *, heads: int, scale: float,
+                        eps: float, with_ln: bool, residual: bool):
+    x = x_ref[:]                                    # (BM, C)
+    h = (_ln_rows(x, lns_ref[0], lnb_ref[0], eps).astype(x.dtype)
+         if with_ln else x)
+    mm = functools.partial(jax.lax.dot_general,
+                           dimension_numbers=(((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
+    q = mm(h, wq_ref[:])                            # (BM, inner) fp32
+    inner = q.shape[-1]
+    d = inner // heads
+    wo = wo_ref[:]
+    acc = None
+    for hh in range(heads):
+        qh = q[:, hh * d:(hh + 1) * d].astype(x.dtype)      # (BM, d)
+        kh = ck_ref[0, hh]                                  # (S_ctx, d)
+        vh = cv_ref[0, hh]
+        logits = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT) * scale    # (BM, S_ctx)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)            # (BM, d)
+        contrib = mm(oh.astype(x.dtype), wo[hh * d:(hh + 1) * d, :])
+        acc = contrib if acc is None else acc + contrib
+    acc = acc + bo_ref[:].astype(jnp.float32)
+    if residual:
+        acc = acc + x.astype(jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "eps",
+                                             "rows_per_group", "residual",
+                                             "bm", "interpret"))
+def fused_cross_attention(x2: jax.Array, ln_scale, ln_bias, wq: jax.Array,
+                          ctx_k: jax.Array, ctx_v: jax.Array, wo: jax.Array,
+                          bo: jax.Array, heads: int, scale: float,
+                          rows_per_group: int, eps: float = 1e-5,
+                          residual: bool = True, bm: int = 0,
+                          interpret: bool = False) -> jax.Array:
+    """x2: (M, C) with M = G * rows_per_group; ln_scale/bias: (C,) or None;
+    wq: (C, inner); ctx_k/ctx_v: (G, heads, S_ctx, d) head-major projected
+    context; wo: (inner, C_out); bo: (C_out,)."""
+    m, c = x2.shape
+    g, _, s_ctx, d = ctx_k.shape
+    c_out = wo.shape[-1]
+    with_ln = ln_scale is not None
+    if not with_ln:
+        ln_scale = jnp.ones((c,), jnp.float32)
+        ln_bias = jnp.zeros((c,), jnp.float32)
+    lns = ln_scale.reshape(1, c)
+    lnb = ln_bias.reshape(1, c)
+    if not bm:
+        bm = next(b for b in (BM, 256, 192, 128, 64, 32, 16, 8)
+                  if rows_per_group % b == 0)
+    grid = (m // bm,)
+    row_spec = pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ctx_spec = pl.BlockSpec((1, heads, s_ctx, d),
+                            lambda i: ((i * bm) // rows_per_group, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    w_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                    memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fused_cross_kernel, heads=heads, scale=scale,
+                          eps=eps, with_ln=with_ln, residual=residual),
+        grid=grid,
+        in_specs=[row_spec, w_spec(lns), w_spec(lnb), w_spec(wq),
+                  ctx_spec, ctx_spec, w_spec(wo),
+                  w_spec(bo.reshape(1, c_out))],
+        out_specs=pl.BlockSpec((bm, c_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, c_out), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024),
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * c * (wq.shape[-1] + c_out)
+            + 4 * m * wq.shape[-1] * s_ctx,
+            bytes_accessed=(m * c + m * c_out) * 2,
+            transcendentals=m * heads * s_ctx,
+        ),
+        interpret=interpret,
+    )(x2, lns, lnb, wq, ctx_k, ctx_v, wo, bo.reshape(1, c_out))
+    return out
+
+
+def fused_cross_eligible(m: int, c: int, inner: int, c_out: int, s_ctx: int,
+                         rows_per_group: int, residual: bool) -> bool:
+    if s_ctx > 8 or inner % 64 or c % 8 or c_out % 8:
+        return False
+    if residual and c_out != c:
+        return False
+    if m % rows_per_group:
+        return False
+    bm = next((b for b in (BM, 256, 192, 128, 64, 32, 16, 8)
+               if rows_per_group % b == 0), None)
+    if bm is None or bm < 64 or m < 2 * bm:
+        return False
+    weights = (c * inner + inner * c_out) * 2
+    return weights < 24 * 1024 * 1024
+
+
+def to_head_major_ctx(k: jax.Array, heads: int) -> jax.Array:
+    """(G, S_ctx, inner) -> (G, heads, S_ctx, d) for the kernel's per-head
+    context blocks (Mosaic rejects 64-lane slices of a wider array)."""
+    g, s, inner = k.shape
+    return jnp.transpose(k.reshape(g, s, heads, inner // heads), (0, 2, 1, 3))

@@ -60,7 +60,6 @@ def parse_args(argv=None):
                    help="per-device batch size (reference flag name)")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--gradient_checkpointing", action="store_true")
-    p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--max_train_steps", type=int, default=50_000)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--lr_warmup_steps", type=int, default=0)
@@ -144,7 +143,6 @@ def main(argv=None):
         height=args.height, sample_n_frames=args.sample_n_frames,
         per_device_batch_size=args.per_gpu_batch_size,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
-        gradient_checkpointing=args.gradient_checkpointing,
         gradient_checkpointing=args.gradient_checkpointing,
         max_train_steps=args.max_train_steps, learning_rate=lr,
         lr_warmup_steps=args.lr_warmup_steps,
