@@ -760,6 +760,8 @@ exp("unet_fwd_fusedff")(lambda: bench_unet_fwd(
     "unet_fwd_fusedff", env={"TVI_FUSED_FF": "1"}))
 exp("unet_fwd_nofusedff")(lambda: bench_unet_fwd(
     "unet_fwd_nofusedff", env={"TVI_FUSED_FF": "0"}))
+exp("unet_fwd_nofusedcross")(lambda: bench_unet_fwd(
+    "unet_fwd_nofusedcross", env={"TVI_DISABLE_FUSED_CROSS": "1"}))
 
 
 exp("mmp_8k")(lambda: bench_mm_pallas("mmp_8k", 8192, 8192, 8192))

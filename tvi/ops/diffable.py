@@ -1,0 +1,91 @@
+"""Reference-backward VJPs for the Pallas forward kernels.
+
+The fused Pallas kernels (flash attention, fused temporal/cross sublayers,
+whole-FF, GEGLU) are forward-only Mosaic programs — reverse-mode autodiff
+cannot linearize through a ``pallas_call``.  Training (src/train.py-style
+loops rebuilt in tvi/train/trainer.py) differentiates the same UNet the
+serving path runs, so every kernel dispatch site would either have to be
+disabled under ``jax.grad`` or made differentiable.
+
+This module makes them differentiable the TPU-idiomatic way: a
+``jax.custom_vjp`` whose
+
+  - primal/forward runs the Pallas kernel (fast path, unchanged), and
+  - backward REPLAYS a pure-XLA reference implementation of the same math
+    and pulls its VJP (rematerialization — nothing extra is saved from the
+    forward; the residuals are just the operands).
+
+The reference implementations live next to each kernel and are asserted
+against the kernels by tests/test_pallas_kernels.py, so the gradients are
+gradients of the math the kernel actually computes (up to bf16 rounding of
+the kernel's fused epilogues).  This mirrors how hand-written flash
+attention backward passes are validated, without maintaining a second
+Mosaic kernel per op.
+
+For long-sequence attention the naive reference would materialize the full
+(BH, Sq, Sk) fp32 probability tensor inside the backward; ``chunked_sdpa``
+bounds that by mapping over query blocks with ``jax.checkpoint`` around
+each block (residuals per block = q-block only; probabilities are
+recomputed blockwise in the block's own backward).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def pallas_with_reference_vjp(fused_fn, reference_fn, *operands):
+    """Run ``fused_fn(*operands)``; differentiate via ``reference_fn``.
+
+    Both callables must accept exactly ``operands`` (statics pre-bound with
+    functools.partial) and agree on the math.  Operands may include None
+    (empty pytree — its cotangent is None).
+    """
+
+    @jax.custom_vjp
+    def f(*ops):
+        return fused_fn(*ops)
+
+    def fwd(*ops):
+        return fused_fn(*ops), ops
+
+    def bwd(ops, g):
+        _, vjp = jax.vjp(reference_fn, *ops)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f(*operands)
+
+
+def sdpa_bh_reference(q: jax.Array, k: jax.Array, v: jax.Array,
+                      scale: float) -> jax.Array:
+    """Plain softmax attention on the flash kernels' (BH, S, D) layout —
+    fp32 logits/softmax, bf16 PV, matching _flash_kernel up to rounding."""
+    logits = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def chunked_sdpa_bh_reference(q: jax.Array, k: jax.Array, v: jax.Array,
+                              scale: float, block_q: int = 512) -> jax.Array:
+    """(BH, S, D) attention mapped over query blocks, each block wrapped in
+    ``jax.checkpoint``: the VJP's live set stays one block's probabilities
+    (vs the full Sq x Sk tensor), which is what keeps the full-size train
+    step's attention backward inside 16 GB."""
+    bh, sq, d = q.shape
+    if sq % block_q or sq == block_q:
+        return sdpa_bh_reference(q, k, v, scale)
+
+    @jax.checkpoint
+    def att_block(qc, k, v):
+        return sdpa_bh_reference(qc, k, v, scale)
+
+    qb = jnp.moveaxis(q.reshape(bh, sq // block_q, block_q, d), 1, 0)
+    out = jax.lax.map(lambda qc: att_block(qc, k, v), qb)
+    return jnp.moveaxis(out, 0, 1).reshape(bh, sq, d)

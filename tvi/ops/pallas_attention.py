@@ -69,12 +69,32 @@ def _default_shift() -> str:
     return os.environ.get("TVI_ATTN_SHIFT", "bound_unguarded")
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret",
-                                             "shift"))
 def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          scale: float, block_q: int = 0,
                          interpret: bool = False,
                          shift: str = "") -> jax.Array:
+    """Differentiable wrapper: Pallas forward, reference-XLA backward
+    (tvi/ops/diffable.py — the backward replays a query-block-chunked
+    softmax attention under jax.checkpoint, so training never materializes
+    the full (BH, Sq, Sk) probabilities)."""
+    from tvi.ops.diffable import (
+        chunked_sdpa_bh_reference,
+        pallas_with_reference_vjp,
+    )
+
+    fused = functools.partial(_flash_self_attention_fwd, scale=scale,
+                              block_q=block_q, interpret=interpret,
+                              shift=shift)
+    ref = functools.partial(chunked_sdpa_bh_reference, scale=scale)
+    return pallas_with_reference_vjp(fused, ref, q, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret",
+                                             "shift"))
+def _flash_self_attention_fwd(q: jax.Array, k: jax.Array, v: jax.Array,
+                              scale: float, block_q: int = 0,
+                              interpret: bool = False,
+                              shift: str = "") -> jax.Array:
     """q/k/v: (BH, S, D).  Ragged S is zero-padded to block multiples and
     the padded keys masked inside the kernel.  Returns (BH, Sq, D).
 
@@ -254,12 +274,29 @@ def _flash_streamed_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
-                                             "interpret"))
 def flash_self_attention_streamed(q: jax.Array, k: jax.Array, v: jax.Array,
                                   scale: float, block_q: int = BLOCK_Q,
                                   block_k: int = 512,
                                   interpret: bool = False) -> jax.Array:
+    """Differentiable wrapper (see flash_self_attention)."""
+    from tvi.ops.diffable import (
+        chunked_sdpa_bh_reference,
+        pallas_with_reference_vjp,
+    )
+
+    fused = functools.partial(_flash_streamed_fwd, scale=scale,
+                              block_q=block_q, block_k=block_k,
+                              interpret=interpret)
+    ref = functools.partial(chunked_sdpa_bh_reference, scale=scale)
+    return pallas_with_reference_vjp(fused, ref, q, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
+def _flash_streamed_fwd(q: jax.Array, k: jax.Array, v: jax.Array,
+                        scale: float, block_q: int = BLOCK_Q,
+                        block_k: int = 512,
+                        interpret: bool = False) -> jax.Array:
     """K-streaming flash attention for K/V too large to keep resident
     (e.g. the VAE decoder's 1-head d=512 attention over 9216 tokens, which
     XLA would otherwise materialize as an (N, 9216, 9216) logits tensor).

@@ -83,15 +83,63 @@ def _fused_cross_kernel(x_ref, lns_ref, lnb_ref, wq_ref, ck_ref, cv_ref,
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "eps",
-                                             "rows_per_group", "residual",
-                                             "bm", "interpret"))
+def fused_cross_reference(x2: jax.Array, ln_scale, ln_bias, wq: jax.Array,
+                          ctx_k: jax.Array, ctx_v: jax.Array, wo: jax.Array,
+                          bo: jax.Array, heads: int, scale: float,
+                          rows_per_group: int, eps: float = 1e-5,
+                          residual: bool = True) -> jax.Array:
+    """Pure-XLA math of _fused_cross_kernel on the grouped layout —
+    backward path + parity oracle."""
+    m, c = x2.shape
+    g, _, s_ctx, d = ctx_k.shape
+    h = x2
+    if ln_scale is not None:
+        h = _ln_rows(x2, ln_scale, ln_bias, eps).astype(x2.dtype)
+    q = jnp.dot(h, wq, preferred_element_type=jnp.float32).astype(x2.dtype)
+    qg = q.reshape(g, rows_per_group, heads, d)
+    logits = jnp.einsum("grhd,ghsd->ghrs", qg.astype(jnp.float32),
+                        ctx_k.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("ghrs,ghsd->grhd", p.astype(ctx_v.dtype), ctx_v,
+                   preferred_element_type=jnp.float32).astype(x2.dtype)
+    out = jnp.dot(o.reshape(m, heads * d), wo,
+                  preferred_element_type=jnp.float32)
+    out = out + bo.astype(jnp.float32)
+    if residual:
+        out = out + x2.astype(jnp.float32)
+    return out.astype(x2.dtype)
+
+
 def fused_cross_attention(x2: jax.Array, ln_scale, ln_bias, wq: jax.Array,
                           ctx_k: jax.Array, ctx_v: jax.Array, wo: jax.Array,
                           bo: jax.Array, heads: int, scale: float,
                           rows_per_group: int, eps: float = 1e-5,
                           residual: bool = True, bm: int = 0,
                           interpret: bool = False) -> jax.Array:
+    """Differentiable wrapper: Pallas forward, reference-XLA backward
+    (tvi/ops/diffable.py)."""
+    from tvi.ops.diffable import pallas_with_reference_vjp
+
+    fused = functools.partial(_fused_cross_fwd, heads=heads, scale=scale,
+                              rows_per_group=rows_per_group, eps=eps,
+                              residual=residual, bm=bm, interpret=interpret)
+    ref = functools.partial(fused_cross_reference, heads=heads, scale=scale,
+                            rows_per_group=rows_per_group, eps=eps,
+                            residual=residual)
+    return pallas_with_reference_vjp(fused, ref, x2, ln_scale, ln_bias, wq,
+                                     ctx_k, ctx_v, wo, bo)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "eps",
+                                             "rows_per_group", "residual",
+                                             "bm", "interpret"))
+def _fused_cross_fwd(x2: jax.Array, ln_scale, ln_bias, wq: jax.Array,
+                     ctx_k: jax.Array, ctx_v: jax.Array, wo: jax.Array,
+                     bo: jax.Array, heads: int, scale: float,
+                     rows_per_group: int, eps: float = 1e-5,
+                     residual: bool = True, bm: int = 0,
+                     interpret: bool = False) -> jax.Array:
     """x2: (M, C) with M = G * rows_per_group; ln_scale/bias: (C,) or None;
     wq: (C, inner); ctx_k/ctx_v: (G, heads, S_ctx, d) head-major projected
     context; wo: (inner, C_out); bo: (C_out,)."""

@@ -63,12 +63,48 @@ def _fused_ff_kernel(x_ref, lns_ref, lnb_ref, wh_ref, wg_ref, bh_ref, bg_ref,
     o_ref[:] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "residual", "bm",
-                                             "interpret"))
+def fused_ff_reference(x: jax.Array, ln_scale, ln_bias, w1: jax.Array,
+                       b1: jax.Array, w2: jax.Array, b2: jax.Array,
+                       eps: float = 1e-5,
+                       residual: bool = True) -> jax.Array:
+    """Pure-XLA math of _fused_ff_kernel (exact erf) — backward path +
+    parity oracle."""
+    inner = w2.shape[0]
+    h_in = x
+    if ln_scale is not None:
+        h_in = _ln_rows(x, ln_scale, ln_bias, eps).astype(x.dtype)
+    mm = lambda a, wn: jnp.dot(a, wn, preferred_element_type=jnp.float32)
+    h = mm(h_in, w1[:, :inner]) + b1[:inner].astype(jnp.float32)
+    g = mm(h_in, w1[:, inner:]) + b1[inner:].astype(jnp.float32)
+    gated = (h * (0.5 * g * (1.0 + jax.lax.erf(g * 0.7071067811865476)))
+             ).astype(x.dtype)
+    y = mm(gated, w2) + b2.astype(jnp.float32)
+    if residual:
+        y = y + x.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def fused_feedforward(x: jax.Array, ln_scale, ln_bias, w1: jax.Array,
                       b1: jax.Array, w2: jax.Array, b2: jax.Array,
                       eps: float = 1e-5, residual: bool = True,
                       bm: int = BM, interpret: bool = False) -> jax.Array:
+    """Differentiable wrapper: Pallas forward, reference-XLA backward
+    (tvi/ops/diffable.py)."""
+    from tvi.ops.diffable import pallas_with_reference_vjp
+
+    fused = functools.partial(_fused_ff_fwd, eps=eps, residual=residual,
+                              bm=bm, interpret=interpret)
+    ref = functools.partial(fused_ff_reference, eps=eps, residual=residual)
+    return pallas_with_reference_vjp(fused, ref, x, ln_scale, ln_bias,
+                                     w1, b1, w2, b2)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "residual", "bm",
+                                             "interpret"))
+def _fused_ff_fwd(x: jax.Array, ln_scale, ln_bias, w1: jax.Array,
+                  b1: jax.Array, w2: jax.Array, b2: jax.Array,
+                  eps: float = 1e-5, residual: bool = True,
+                  bm: int = BM, interpret: bool = False) -> jax.Array:
     """x: (M, C); ln_scale/ln_bias: (C,) or None (skip the fused LN);
     w1: (C, 2*inner) [hidden | gate]; b1: (2*inner,); w2: (inner, C_out);
     b2: (C_out,).  Returns x + ff(ln(x)) (residual requires C_out == C)."""

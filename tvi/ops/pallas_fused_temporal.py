@@ -112,13 +112,52 @@ def _fused_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *,
     o_ref[:] = acc.reshape(br, fp, wo.shape[-1]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "block_r",
-                                             "interpret"))
+def fused_temporal_reference(x: jax.Array, wq: jax.Array, wk: jax.Array,
+                             wv: jax.Array, wo: jax.Array, bo: jax.Array,
+                             heads: int, scale: float) -> jax.Array:
+    """Pure-XLA math of _fused_kernel: QKV projection, per-head frame
+    attention, out-projection.  Backward path + parity oracle."""
+    r, f, c = x.shape
+    inner = wq.shape[-1]
+    d = inner // heads
+    x2 = x.reshape(r * f, c)
+    proj = lambda w: jnp.dot(x2, w, preferred_element_type=jnp.float32) \
+        .astype(x.dtype).reshape(r, f, heads, d)
+    q, k, v = proj(wq), proj(wk), proj(wv)
+    logits = jnp.einsum("rfhd,rghd->rhfg", q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("rhfg,rghd->rfhd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    out = jnp.dot(o.reshape(r * f, inner), wo,
+                  preferred_element_type=jnp.float32)
+    out = out + bo.astype(jnp.float32)
+    return out.reshape(r, f, wo.shape[-1]).astype(x.dtype)
+
+
 def fused_temporal_self_attention(x: jax.Array, wq: jax.Array, wk: jax.Array,
                                   wv: jax.Array, wo: jax.Array, bo: jax.Array,
                                   heads: int, scale: float,
                                   block_r: int = 0,
                                   interpret: bool = False) -> jax.Array:
+    """Differentiable wrapper: Pallas forward, reference-XLA backward."""
+    from tvi.ops.diffable import pallas_with_reference_vjp
+
+    fused = functools.partial(_fused_temporal_fwd, heads=heads, scale=scale,
+                              block_r=block_r, interpret=interpret)
+    ref = functools.partial(fused_temporal_reference, heads=heads,
+                            scale=scale)
+    return pallas_with_reference_vjp(fused, ref, x, wq, wk, wv, wo, bo)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "block_r",
+                                             "interpret"))
+def _fused_temporal_fwd(x: jax.Array, wq: jax.Array, wk: jax.Array,
+                        wv: jax.Array, wo: jax.Array, bo: jax.Array,
+                        heads: int, scale: float,
+                        block_r: int = 0,
+                        interpret: bool = False) -> jax.Array:
     """x: (R, F, C); wq/wk/wv: (C, inner); wo: (inner, C_out); bo: (C_out,).
     Returns to_out(attention(x@Wq, x@Wk, x@Wv)) of shape (R, F, C_out).
     Rows and frames are zero-padded to tile; padded keys are masked in the

@@ -49,10 +49,33 @@ def _geglu_kernel(x_ref, wh_ref, wg_ref, bh_ref, bg_ref, o_ref):
     o_ref[:] = (h * gelu_g).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "bm", "bn0"))
+def geglu_reference(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """Pure-XLA math of _geglu_kernel (exact erf; the kernel's A&S 7.1.26
+    approximation is within 1.5e-7) — backward path + parity oracle."""
+    n = w.shape[1] // 2
+    mm = lambda a, wn: jnp.dot(a, wn, preferred_element_type=jnp.float32)
+    h = mm(x, w[:, :n]) + b[:n].astype(jnp.float32)
+    g = mm(x, w[:, n:]) + b[n:].astype(jnp.float32)
+    gelu_g = 0.5 * g * (1.0 + jax.lax.erf(g * 0.7071067811865476))
+    return (h * gelu_g).astype(x.dtype)
+
+
 def geglu_project(x: jax.Array, w: jax.Array, b: jax.Array,
                   interpret: bool = False, bm: int = BM,
                   bn0: int = BN) -> jax.Array:
+    """Differentiable wrapper: Pallas forward, reference-XLA backward
+    (tvi/ops/diffable.py)."""
+    from tvi.ops.diffable import pallas_with_reference_vjp
+
+    fused = functools.partial(_geglu_fwd, interpret=interpret, bm=bm,
+                              bn0=bn0)
+    return pallas_with_reference_vjp(fused, geglu_reference, x, w, b)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "bm", "bn0"))
+def _geglu_fwd(x: jax.Array, w: jax.Array, b: jax.Array,
+               interpret: bool = False, bm: int = BM,
+               bn0: int = BN) -> jax.Array:
     """x (M, K); w (K, 2N) with [hidden | gate] halves; b (2N,).
     Returns (M, N) = (x@w_h + b_h) * gelu(x@w_g + b_g)."""
     m, k = x.shape

@@ -43,10 +43,35 @@ def _rows_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[:] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_r", "interpret"))
+def temporal_rows_reference(q: jax.Array, k: jax.Array, v: jax.Array,
+                            scale: float) -> jax.Array:
+    """Pure-XLA math of _rows_kernel on the (R, F, H, D) layout — used as
+    the kernel's backward (tvi/ops/diffable.py) and by the parity tests."""
+    logits = jnp.einsum("rfhd,rghd->rhfg", q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("rhfg,rghd->rfhd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 def temporal_rows_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                             scale: float, block_r: int = BLOCK_R,
                             interpret: bool = False) -> jax.Array:
+    """Differentiable wrapper: Pallas forward, reference-XLA backward
+    (the (R*H, F, F) logits are tiny — no chunking needed)."""
+    from tvi.ops.diffable import pallas_with_reference_vjp
+
+    fused = functools.partial(_temporal_rows_fwd, scale=scale,
+                              block_r=block_r, interpret=interpret)
+    ref = functools.partial(temporal_rows_reference, scale=scale)
+    return pallas_with_reference_vjp(fused, ref, q, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_r", "interpret"))
+def _temporal_rows_fwd(q: jax.Array, k: jax.Array, v: jax.Array,
+                       scale: float, block_r: int = BLOCK_R,
+                       interpret: bool = False) -> jax.Array:
     """q/k/v: (R, F, H, D) — per-row F-frame self-attention, independent
     across rows R and heads H.  Returns (R, F, H, D)."""
     r, f, h, d = q.shape
