@@ -1060,8 +1060,17 @@ def main():
         print("experiments:", " ".join(EXPERIMENTS), "\ngroups:", " ".join(GROUPS))
         return
     print(f"device: {jax.devices()[0]}", flush=True)
+    failed = []
     for n in names:
-        EXPERIMENTS[n]()
+        try:
+            EXPERIMENTS[n]()
+        except Exception:
+            import traceback
+            traceback.print_exc()
+            failed.append(n)
+            print(f"[{n}] FAILED (continuing)", flush=True)
+    if failed:
+        raise SystemExit(f"failed experiments: {' '.join(failed)}")
 
 
 

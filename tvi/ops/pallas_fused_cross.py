@@ -45,9 +45,18 @@ def _ln_rows(x, scale, bias, eps):
     return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
+# context tokens are padded host-side to this many rows: Mosaic's lowering
+# of dot_general with a tiny non-contracted rhs dim (N = 2-3 real tokens)
+# fails verification ('vector.broadcast' bf16->f32); a 128-wide N is the
+# same shape class as the flash kernels' logits and rides the MXU.  The
+# extra FLOPs are noise next to the (BM, C, inner) projections.
+CTX_PAD = 128
+
+
 def _fused_cross_kernel(x_ref, lns_ref, lnb_ref, wq_ref, ck_ref, cv_ref,
                         wo_ref, bo_ref, o_ref, *, heads: int, scale: float,
-                        eps: float, with_ln: bool, residual: bool):
+                        eps: float, with_ln: bool, residual: bool,
+                        ctx_valid: int):
     x = x_ref[:]                                    # (BM, C)
     h = (_ln_rows(x, lns_ref[0], lnb_ref[0], eps).astype(x.dtype)
          if with_ln else x)
@@ -62,12 +71,14 @@ def _fused_cross_kernel(x_ref, lns_ref, lnb_ref, wq_ref, ck_ref, cv_ref,
     acc = None
     for hh in range(heads):
         qh = q[:, hh * d:(hh + 1) * d].astype(x.dtype)      # (BM, d)
-        kh = ck_ref[0, hh]                                  # (S_ctx, d)
+        kh = ck_ref[0, hh]                                  # (CTX_PAD, d)
         vh = cv_ref[0, hh]
         logits = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT) * scale    # (BM, S_ctx)
+            precision=jax.lax.Precision.DEFAULT) * scale    # (BM, CTX_PAD)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < ctx_valid, logits, -1e30)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -152,19 +163,24 @@ def _fused_cross_fwd(x2: jax.Array, ln_scale, ln_bias, wq: jax.Array,
         ln_bias = jnp.zeros((c,), jnp.float32)
     lns = ln_scale.reshape(1, c)
     lnb = ln_bias.reshape(1, c)
+    if s_ctx < CTX_PAD:  # see CTX_PAD: lane-wide N for the logits dot
+        pad = ((0, 0), (0, 0), (0, CTX_PAD - s_ctx), (0, 0))
+        ctx_k = jnp.pad(ctx_k, pad)
+        ctx_v = jnp.pad(ctx_v, pad)
     if not bm:
         bm = next(b for b in (BM, 256, 192, 128, 64, 32, 16, 8)
                   if rows_per_group % b == 0)
     grid = (m // bm,)
     row_spec = pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    ctx_spec = pl.BlockSpec((1, heads, s_ctx, d),
+    ctx_spec = pl.BlockSpec((1, heads, ctx_k.shape[2], d),
                             lambda i: ((i * bm) // rows_per_group, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     w_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                     memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fused_cross_kernel, heads=heads, scale=scale,
-                          eps=eps, with_ln=with_ln, residual=residual),
+                          eps=eps, with_ln=with_ln, residual=residual,
+                          ctx_valid=s_ctx),
         grid=grid,
         in_specs=[row_spec, w_spec(lns), w_spec(lnb), w_spec(wq),
                   ctx_spec, ctx_spec, w_spec(wo),
