@@ -1077,7 +1077,8 @@ def main():
 
 # ------------------------- round-3 experiments ------------------------------
 
-def bench_fused_temporal(name, r=18432, f=25, c=320, block_r=0, iters=10):
+def bench_fused_temporal(name, r=18432, f=25, c=320, block_r=0, group=0,
+                         iters=10):
     """Fused QKV+frame-attention+out-proj kernel at the headline temporal
     shapes (R=B*H*W rows, F frames, C channels)."""
     from tvi.ops.pallas_fused_temporal import fused_temporal_self_attention
@@ -1097,7 +1098,7 @@ def bench_fused_temporal(name, r=18432, f=25, c=320, block_r=0, iters=10):
         def body(i, cur):
             out = fused_temporal_self_attention(cur, wq, wk, wv, wo, bo,
                                                 heads=heads, scale=64 ** -0.5,
-                                                block_r=block_r)
+                                                block_r=block_r, group=group)
             return (cur + 0.01 * out).astype(cur.dtype)
         return jax.lax.fori_loop(0, iters, body, x)
 
@@ -1220,6 +1221,15 @@ exp("fused_temporal_640")(lambda: bench_fused_temporal(
     "fused_temporal_640", r=4608, c=640))
 exp("fused_temporal_1280")(lambda: bench_fused_temporal(
     "fused_temporal_1280", r=1152, c=1280))
+for _g in (1, 4, 8, 16):
+    exp(f"ft320_g{_g}")(lambda g=_g: bench_fused_temporal(
+        f"ft320_g{g}", group=g))
+    exp(f"ft640_g{_g}")(lambda g=_g: bench_fused_temporal(
+        f"ft640_g{g}", r=4608, c=640, group=g))
+exp("ft1280_g8")(lambda: bench_fused_temporal(
+    "ft1280_g8", r=1152, c=1280, group=8))
+exp("ft1280_g1")(lambda: bench_fused_temporal(
+    "ft1280_g1", r=1152, c=1280, group=1))
 exp("unfused_temporal_320")(lambda: bench_unfused_temporal("unfused_temporal_320"))
 exp("unet_fwd")(lambda: bench_unet_fwd("unet_fwd"))
 exp("unet_fwd_rowshift")(lambda: bench_unet_fwd(

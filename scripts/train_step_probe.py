@@ -58,12 +58,17 @@ def main():
     r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
     unet_params = unet.init_params(r1)
     unet_train, unet_frozen = partition_params(unet_params, temporal_predicate)
-    frozen = {
+    from tvi.core.precision import DEFAULT_POLICY
+    # frozen weights at compute dtype (reference weight_dtype semantics,
+    # src/train.py:269-296): fp32 frozen weights alone push the full-size
+    # step to 16.67 GB on a 15.75 GB chip (round-3 OOM probe)
+    frozen = DEFAULT_POLICY.cast_to_compute({
         "unet": unet_frozen,
         "vae": vae.init(r2, jnp.zeros((1, 64, 64, 3), dtype), 1),
         "clip": clip.init(r3, jnp.zeros((1, 224, 224, 3), dtype)),
         "mask_token": jax.random.normal(r5, (4,)),
-    }
+    })
+    del unet_params, unet_frozen  # drop the fp32 originals from HBM
     trainable = {
         "unet": unet_train,
         "projector": projector.init(r4, jnp.zeros((1, 1, 2048), dtype)),
@@ -88,11 +93,25 @@ def main():
     video = (rs.rand(b, f, h, w, 3).astype(np.float32) * 2 - 1)
     batch = {"video": video, "first": video[:, 0], "end": video[:, -1]}
 
+    def mem(tag):
+        try:
+            s = jax.devices()[0].memory_stats()
+            print(f"[mem:{tag}] in_use={s.get('bytes_in_use', 0)/1e9:.2f} GB "
+                  f"peak={s.get('peak_bytes_in_use', 0)/1e9:.2f} GB "
+                  f"limit={s.get('bytes_limit', 0)/1e9:.2f} GB", flush=True)
+        except Exception as e:
+            print(f"[mem:{tag}] unavailable: {e}", flush=True)
+
+    mem("before_step")
     print("compiling + running step 1 (AOT compile may take many minutes)",
           flush=True)
     t0 = time.perf_counter()
-    state, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(1))
-    loss = float(metrics["loss"])
+    try:
+        state, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(1))
+        loss = float(metrics["loss"])
+    except Exception:
+        mem("step1_failed")
+        raise
     t1 = time.perf_counter()
     print(f"step 1 (incl. compile): {t1 - t0:.1f} s, loss={loss:.5f}",
           flush=True)

@@ -49,27 +49,38 @@ def _pad_f(f: int) -> int:
     return f + (-f) % _SUBLANE
 
 
-def _pick_block_r(f: int, c: int, c_out: int) -> int:
+GROUP = 8  # rows per grouped-attention block (see _fused_kernel)
+
+
+def _pick_block_r(f: int, c: int, c_out: int, group: int = GROUP) -> int:
     """Largest row block whose working set fits the VMEM budget."""
     for block_r in (512, 256, 128, 64):
-        if _vmem_bytes(block_r, f, c, c_out) < 72 * 1024 * 1024:
+        if _vmem_bytes(block_r, f, c, c_out, group) < 72 * 1024 * 1024:
             return block_r
     return 32
 
 
-def _vmem_bytes(block_r: int, f: int, c: int, c_out: int) -> int:
+def _vmem_bytes(block_r: int, f: int, c: int, c_out: int,
+                group: int = GROUP) -> int:
     fp = _pad_f(f)
     tile = block_r * fp * c * 2
     qkv = 3 * tile
     acc = block_r * fp * c_out * 4
     out = block_r * fp * c_out * 2 * 2
     weights = (3 * c * c + c * c_out) * 2
-    logits = block_r * fp * fp * 4
+    logits = block_r * fp * (group * fp) * 4 * 2  # logits + softmax copy
     return 2 * tile + qkv + acc + out + weights + logits
 
 
 def _fused_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *,
-                  heads: int, scale: float, f_valid: int):
+                  heads: int, scale: float, f_valid: int, group: int):
+    """Grouped frame attention: a per-row (Fp, d) x (d, Fp) logits dot is a
+    32x32 output with K=64 — 1/16th of the MXU, and Mosaic serializes the
+    BR-batched form into thousands of such dots (measured 36 TF/s for the
+    whole sublayer).  Instead, ``group`` consecutive rows share ONE
+    (G*Fp, d) x (d, G*Fp) MXU-shaped dot and a block-diagonal mask kills
+    the cross-row products.  G=8 wastes 8x the attention-core FLOPs (~5% of
+    the kernel's total) to run them at MXU rate instead of 1/16th rate."""
     x = x_ref[:]                                   # (BR, Fp, C)
     br, fp, c = x.shape
     wq, wk, wv, wo = wq_ref[:], wk_ref[:], wv_ref[:], wo_ref[:]
@@ -80,29 +91,36 @@ def _fused_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *,
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.DEFAULT)
     inner = wq.shape[-1]
-    q = mm2(x2, wq).astype(x.dtype).reshape(br, fp, inner)
-    k = mm2(x2, wk).astype(x.dtype).reshape(br, fp, inner)
-    v = mm2(x2, wv).astype(x.dtype).reshape(br, fp, inner)
+    q = mm2(x2, wq).astype(x.dtype)                # (BR*Fp, inner)
+    k = mm2(x2, wk).astype(x.dtype)
+    v = mm2(x2, wv).astype(x.dtype)
 
     d = inner // heads
+    g = group
+    gfp = g * fp
+    nb = br // g
+    # queries attend only keys of their own row block and only valid frames
+    row = jax.lax.broadcasted_iota(jnp.int32, (gfp, gfp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (gfp, gfp), 1)
+    keep = (row // fp == col // fp) & (col % fp < f_valid)
     acc = None
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        qh, kh, vh = q[:, :, sl], k[:, :, sl], v[:, :, sl]
+        qh = q[:, sl].reshape(nb, gfp, d)
+        kh = k[:, sl].reshape(nb, gfp, d)
+        vh = v[:, sl].reshape(nb, gfp, d)
         logits = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT) * scale   # (BR, Fp, Fp)
-        if f_valid < fp:
-            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
-            logits = jnp.where(col < f_valid, logits, -1e30)
+            precision=jax.lax.Precision.DEFAULT) * scale   # (nb, gfp, gfp)
+        logits = jnp.where(keep[None], logits, -1e30)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         oh = jax.lax.dot_general(
             (p / l).astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)           # (BR, Fp, d) fp32
+            precision=jax.lax.Precision.DEFAULT)           # (nb, gfp, d)
         # accumulate the out-projection per head: oh @ Wo[h*d:(h+1)*d, :]
         contrib = mm2(oh.astype(x.dtype).reshape(br * fp, d),
                       wo[h * d:(h + 1) * d, :])            # (BR*Fp, C_out)
@@ -139,24 +157,32 @@ def fused_temporal_reference(x: jax.Array, wq: jax.Array, wk: jax.Array,
 def fused_temporal_self_attention(x: jax.Array, wq: jax.Array, wk: jax.Array,
                                   wv: jax.Array, wo: jax.Array, bo: jax.Array,
                                   heads: int, scale: float,
-                                  block_r: int = 0,
+                                  block_r: int = 0, group: int = 0,
                                   interpret: bool = False) -> jax.Array:
-    """Differentiable wrapper: Pallas forward, reference-XLA backward."""
+    """Differentiable wrapper: Pallas forward, reference-XLA backward.
+    ``group`` (rows per grouped-attention dot) defaults to GROUP; the
+    TVI_TEMPORAL_GROUP env A/B knob is resolved HERE at call time and
+    passed as a static argument (never read inside the jitted fn)."""
+    import os
+
     from tvi.ops.diffable import pallas_with_reference_vjp
 
+    if not group:
+        group = int(os.environ.get("TVI_TEMPORAL_GROUP") or 0) or GROUP
     fused = functools.partial(_fused_temporal_fwd, heads=heads, scale=scale,
-                              block_r=block_r, interpret=interpret)
+                              block_r=block_r, group=group,
+                              interpret=interpret)
     ref = functools.partial(fused_temporal_reference, heads=heads,
                             scale=scale)
     return pallas_with_reference_vjp(fused, ref, x, wq, wk, wv, wo, bo)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "block_r",
-                                             "interpret"))
+                                             "group", "interpret"))
 def _fused_temporal_fwd(x: jax.Array, wq: jax.Array, wk: jax.Array,
                         wv: jax.Array, wo: jax.Array, bo: jax.Array,
                         heads: int, scale: float,
-                        block_r: int = 0,
+                        block_r: int = 0, group: int = GROUP,
                         interpret: bool = False) -> jax.Array:
     """x: (R, F, C); wq/wk/wv: (C, inner); wo: (inner, C_out); bo: (C_out,).
     Returns to_out(attention(x@Wq, x@Wk, x@Wv)) of shape (R, F, C_out).
@@ -165,7 +191,9 @@ def _fused_temporal_fwd(x: jax.Array, wq: jax.Array, wk: jax.Array,
     r, f, c = x.shape
     c_out = wo.shape[-1]
     if not block_r:
-        block_r = _pick_block_r(f, c, c_out)
+        block_r = _pick_block_r(f, c, c_out, group)
+    while block_r % group:
+        group //= 2
     fp = _pad_f(f)
     pad_r = (-r) % block_r
     if pad_r or fp != f:
@@ -177,7 +205,7 @@ def _fused_temporal_fwd(x: jax.Array, wq: jax.Array, wk: jax.Array,
     w_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     kernel = functools.partial(_fused_kernel, heads=heads, scale=scale,
-                               f_valid=f)
+                               f_valid=f, group=group)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -196,9 +224,9 @@ def _fused_temporal_fwd(x: jax.Array, wq: jax.Array, wk: jax.Array,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * rp * fp * c * (3 * wq.shape[-1] + c_out)
-            + 4 * rp * heads * fp * fp * d,
+            + 4 * rp * heads * fp * (group * fp) * d,
             bytes_accessed=2 * rp * fp * (c + c_out) * 2,
-            transcendentals=rp * heads * fp * fp,
+            transcendentals=rp * heads * fp * (group * fp),
         ),
         interpret=interpret,
     )(x, wq, wk, wv, wo, bo)

@@ -80,8 +80,11 @@ def dense_w8a8(x: jax.Array, w_i8: jax.Array, w_scale: jax.Array,
 def quantize_param_tree(params, predicate) -> dict:
     """Walk a flax param tree; for every 'kernel' leaf where
     predicate(path, leaf) is True, replace it with a dict
-    {kernel_i8, kernel_scale}.  Load-time weight pre-quantization for the
-    int8 serving mode (avoids per-call on-the-fly weight quantization)."""
+    {kernel_i8, kernel_scale}.  Standalone load-time pre-quantization
+    utility (tested in tests/test_quant.py); NOT wired into the serving
+    path — TVI_SERVE_INT8 quantizes weights on the fly inside the traced
+    call, and the corrected roofline (PERF.md round 3: int8 96-153 TOPS vs
+    149 TF/s bf16 on this chip) removed the motivation to integrate it."""
     from flax import traverse_util
 
     flat = traverse_util.flatten_dict(params, sep="/")

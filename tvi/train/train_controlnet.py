@@ -113,7 +113,11 @@ def main(argv=None):
     step_fn, optimizer = make_controlnet_train_step(
         unet=unet, vae=vae, clip=clip, controlnet=cn, cfg=cfg, mesh=mesh, dtype=dtype)
     state = create_train_state(cn_params, optimizer, use_ema=args.use_ema)
-    frozen = {"unet": unet_params, "vae": vae_params, "clip": clip_params}
+    # frozen UNet/VAE/CLIP at compute dtype — reference weight_dtype
+    # semantics (train_svd.py loads frozen models at weight_dtype)
+    frozen = policy.cast_to_compute(
+        {"unet": unet_params, "vae": vae_params, "clip": clip_params})
+    del unet_params, vae_params, clip_params  # drop fp32 originals from HBM
 
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
                              total_limit=args.checkpoints_total_limit,

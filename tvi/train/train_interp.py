@@ -210,6 +210,13 @@ def main(argv=None):
             jnp.zeros((1, 2, 64, 64, cn_cfg.conditioning_channels), dtype))
     print(f"[train_interp] trainable params: {count_params(trainable):,} / "
           f"total {count_params(trainable) + count_params(frozen):,}", flush=True)
+    # Frozen weights live on-device in the compute dtype — the reference
+    # holds its frozen vae/image_encoder at weight_dtype (src/train.py:
+    # 269-296); compute casts params to bf16 at use anyway, so this halves
+    # their HBM without changing the loss.  Full-size 512x320x14f batch-2
+    # does not fit 16 GB with fp32 frozen weights (PERF.md round-3 probe).
+    frozen = policy.cast_to_compute(frozen)
+    del unet_params, unet_frozen, vae_params, clip_params  # fp32 originals
 
     step_fn, optimizer = make_interp_train_step(
         unet=unet, vae=vae, clip=clip, projector=projector, cfg=cfg,
@@ -344,10 +351,11 @@ def main(argv=None):
     from tvi.train.params import merge_params as _merge
 
     live = state.ema if (args.use_ema and state.ema is not None) else state.trainable
+    frozen32 = policy.cast_to_param(frozen)  # export keeps the fp32 layout
     export_pipeline_params(os.path.join(args.output_dir, "pipeline"), {
-        "unet": _merge(live["unet"], frozen["unet"]),
-        "vae": frozen["vae"], "clip": frozen["clip"],
-        "mask_token": frozen["mask_token"],
+        "unet": _merge(live["unet"], frozen32["unet"]),
+        "vae": frozen32["vae"], "clip": frozen32["clip"],
+        "mask_token": frozen32["mask_token"],
         "projector": live["projector"],
     })
     logger.close()
