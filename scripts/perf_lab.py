@@ -773,6 +773,25 @@ exp("mmp_ff320_out")(lambda: bench_mm_pallas("mmp_ff320_out (460800,1280,320)",
                                              bn=320))
 exp("mmp_proj320")(lambda: bench_mm_pallas("mmp_proj320 (460800,320,320)",
                                            460800, 320, 320, bm=2048, bn=320))
+# In-kernel thin-N sweep: is the limiter the N width itself or its 128-lane
+# alignment?  bn == n (single N block, weights resident), M-gridded.
+for _n, _bm in ((320, 4096), (384, 4096), (640, 4096), (960, 2048),
+                (1152, 2048), (1280, 2048), (2560, 1024)):
+    exp(f"mmpN_{_n}")(lambda n=_n, bm=_bm: bench_mm_pallas(
+        f"mmpN_{n} (458752,320,{n}) bm{bm}", 458752, 320, n, bm=bm, bn=n))
+# and the out-projection shape class (K wide, N thin)
+for _n, _bm in ((320, 2048), (384, 2048)):
+    exp(f"mmpKN_{_n}")(lambda n=_n, bm=_bm: bench_mm_pallas(
+        f"mmpKN_{n} (458752,1280,{n}) bm{bm}", 458752, 1280, n, bm=bm, bn=n))
+# block-size sweep at the N=320 cliff shape: the fused-FF kernel's bm=512
+# programs run ~1.6x off peak while bm=4096 single-dot programs run 10x off
+for _bm in (128, 256, 512, 1024):
+    exp(f"mmpB_{_bm}")(lambda bm=_bm: bench_mm_pallas(
+        f"mmpB_{bm} (458752,320,320) bm{bm}", 458752, 320, 320,
+        bm=bm, bn=320))
+    exp(f"mmpBK_{_bm}")(lambda bm=_bm: bench_mm_pallas(
+        f"mmpBK_{bm} (458752,1280,320) bm{bm}", 458752, 1280, 320,
+        bm=bm, bn=320))
 def bench_matmul_3d(name, b, s, k, n, iters=10, transpose_b=False):
     """The model's projections are (B, S, K) x (K, N) — does XLA tile the
     3D/batched form differently from the equivalent 2D (B*S, K) GEMM?"""

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--frames", type=int, default=14)
     ap.add_argument("--height", type=int, default=320)
     ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--opt", choices=["adam", "sgd"], default="adam",
+                    help="sgd = no moment tensors (-3.2 GB): memory-envelope "
+                         "diagnostic for whether AdamW fits next to the step")
     args = ap.parse_args()
 
     from tvi.core.config import CLIPVisionConfig, TrainConfig, UNetConfig, VAEConfig
@@ -82,11 +85,12 @@ def main():
                       height=args.height, width=args.width,
                       sample_n_frames=args.frames,
                       gradient_checkpointing=not args.no_remat)
-    step_fn, _ = make_interp_train_step(
+    import optax
+    override = optax.sgd(cfg.learning_rate) if args.opt == "sgd" else None
+    step_fn, optimizer = make_interp_train_step(
         unet=unet, vae=vae, clip=clip, projector=projector, cfg=cfg,
-        dtype=dtype)
-    from tvi.train.trainer import make_optimizer
-    state = create_train_state(trainable, make_optimizer(cfg))
+        optimizer=override, dtype=dtype)
+    state = create_train_state(trainable, optimizer)
 
     b, f, h, w = args.batch, args.frames, args.height, args.width
     rs = np.random.RandomState(0)

@@ -393,3 +393,66 @@ class TestFusedCrossAttention:
             bm=min(128, rpg), interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-4, rtol=3e-4)
+
+
+class TestFlashAttentionOut:
+    """Spatial self-attention v4: head-looped bound-shift flash with the
+    out-projection + bias + residual fused into the epilogue
+    (tvi/ops/pallas_attention_out.py)."""
+
+    @pytest.mark.parametrize("b,s,heads,c_out,residual", [
+        (2, 512, 2, 128, True),      # even blocks
+        (2, 576, 5, 320, True),      # Sk % 128 != 0 -> pad + mask, BQ=192
+        (1, 256, 2, 128, False),
+    ])
+    def test_parity_with_reference(self, rng, b, s, heads, c_out, residual):
+        from tvi.ops.pallas_attention_out import (
+            attention_out_reference,
+            flash_attention_out,
+        )
+        d = 64
+        inner = heads * d
+        ks = jax.random.split(rng, 6)
+        q = jax.random.normal(ks[0], (b, s, inner))
+        k = jax.random.normal(ks[1], (b, s, inner))
+        v = jax.random.normal(ks[2], (b, s, inner))
+        x_res = jax.random.normal(ks[3], (b, s, c_out))
+        wo = jax.random.normal(ks[4], (inner, c_out)) * inner ** -0.5
+        bo = jax.random.normal(ks[5], (c_out,)) * 0.1
+        scale = d ** -0.5
+        got = flash_attention_out(q, k, v, x_res, wo, bo, heads=heads,
+                                  scale=scale, residual=residual,
+                                  interpret=True)
+        want = attention_out_reference(q, k, v, x_res, wo, bo, heads=heads,
+                                       scale=scale, residual=residual)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-4, rtol=3e-4)
+
+    def test_grad_flows(self, rng):
+        from tvi.ops.pallas_attention_out import flash_attention_out
+        b, s, heads, c_out = 1, 256, 2, 128
+        inner = heads * 64
+        ks = jax.random.split(rng, 6)
+        q = jax.random.normal(ks[0], (b, s, inner))
+        k = jax.random.normal(ks[1], (b, s, inner))
+        v = jax.random.normal(ks[2], (b, s, inner))
+        x_res = jax.random.normal(ks[3], (b, s, c_out))
+        wo = jax.random.normal(ks[4], (inner, c_out)) * inner ** -0.5
+        bo = jnp.zeros((c_out,))
+
+        def loss(wo):
+            out = flash_attention_out(q, k, v, x_res, wo, bo, heads=heads,
+                                      scale=64 ** -0.5, interpret=True)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(wo)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+
+    def test_eligibility(self):
+        from tvi.ops.pallas_attention_out import attention_out_eligible
+        assert attention_out_eligible(50, 9216, 9216, 320, 320, 5)
+        assert attention_out_eligible(50, 2304, 2304, 640, 640, 10)
+        assert attention_out_eligible(50, 576, 576, 1280, 1280, 20)
+        assert not attention_out_eligible(50, 9216, 9216, 320, 320, 4)  # d!=64
+        assert not attention_out_eligible(50, 100, 100, 320, 320, 5)    # tiny S

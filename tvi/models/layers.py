@@ -434,6 +434,7 @@ class Attention(nn.Module):
         import os
 
         from tvi.ops.attention import _flash_enabled
+        from tvi.ops.pallas_attention import _default_shift as _default_attn_shift
         from tvi.ops.pallas_fused_spatial import (
             fused_spatial_eligible,
             fused_spatial_self_attention,
@@ -593,6 +594,34 @@ class Attention(nn.Module):
             if bq is not None:
                 qkv = qkv + jnp.concatenate([bq, bk, bv])
             q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            # Spatial self-attention v4 (tvi/ops/pallas_attention_out.py):
+            # head-looped bound-shift flash over the natural (B, S, inner)
+            # layout with out-projection + bias + sublayer residual in the
+            # epilogue — removes the head-split transposes, the thin-N
+            # out-projection pass and the residual pass (each an HBM
+            # M-pass on the input-streaming wall, PERF.md round-3).
+            if (bias is None and not want_stats
+                    and not self.residual_connection and residual_add
+                    and self.norm_num_groups is None
+                    and hidden_states.ndim == 3
+                    and hidden_states.shape[1] > 64
+                    and self.dim_head == 64 and _flash_enabled()
+                    and out_features == residual.shape[-1]
+                    and not os.environ.get("TVI_DISABLE_ATTN_OUT")
+                    and _default_attn_shift() == "bound_unguarded"):
+                from tvi.ops.pallas_attention_out import (
+                    attention_out_eligible,
+                    flash_attention_out,
+                )
+
+                bsz, seq = q.shape[0], q.shape[1]
+                if attention_out_eligible(bsz, seq, seq, inner, out_features,
+                                          self.heads):
+                    return flash_attention_out(
+                        q, k, v, residual.astype(self.dtype), wo, bo,
+                        heads=self.heads, scale=self.dim_head ** -0.5,
+                        residual=True)
         else:
             q = apply_dense(hidden_states, wq, bq)
             k = apply_dense(context, wk, bk)

@@ -66,8 +66,11 @@ class BasicTransformerBlock(nn.Module):
             norm1 = LayerNormParams(features=hidden_states.shape[-1],
                                     param_dtype=self.param_dtype,
                                     name="norm1")()
+            # residual folded into the attention (the TPU v4 kernel fuses
+            # out-projection + residual into its epilogue; the fallback
+            # adds it functionally — identical math)
             hidden_states = attn("attn1")(
-                hidden_states, pre_ln=norm1) + hidden_states
+                hidden_states, pre_ln=norm1, residual_add=True)
             if self.cross_attention:
                 # norm2 + attn2 + residual fold into the fused small-context
                 # cross kernel on TPU (tvi/ops/pallas_fused_cross.py)

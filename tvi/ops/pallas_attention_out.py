@@ -1,0 +1,210 @@
+"""Spatial self-attention kernel v4: head-looped bound-shift flash with the
+out-projection, output bias and sublayer residual fused into the epilogue.
+
+Why: the v3 chain around the resident-KV flash kernel is four extra
+M-passes over the (M = B*S, C) activation — the (B,S,H,d)->(BH,S,d)
+head-split transposes in, the transpose back, the head-major out-projection
+(a thin-N matmul on the ~15-25 TF/s input-streaming wall, PERF.md round-3
+mmpN_* sweep: matmul time is FLAT in N; every HBM matmul pass costs
+~max(FLOPs/149T, input_bytes/~55GB/s)), and the residual add.  This kernel
+reads q/k/v in their natural (B, S, inner) layout (no head transposes
+anywhere), loops the 64-wide heads in-kernel, and accumulates
+
+    out = x_res + bo + sum_h softmax(q_h k_h^T * scale) v_h @ Wo[h]
+
+into a single (BQ, C) tile written once.  The per-head softmax uses the
+same backed-off Cauchy-Schwarz bound shift as tvi/ops/pallas_attention.py
+(shift cancels exactly; see _flash_bound_kernel for the underflow margin
+analysis) with max_j ||k_j|| precomputed per (batch, head) in XLA.
+
+Replaces the reference's AttnProcessor2_0 spatial self-attention + to_out
++ the BasicTransformerBlock residual (vendored attention_processor.py:1178,
+attention.py:84) on the TPU serving path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tvi.ops.pallas_attention import LOG2E, SHIFT_BACKOFF
+
+BLOCK_Q = 256
+
+
+def _attn_out_kernel(q_ref, k_ref, v_ref, kn_ref, x_ref, wo_ref, bo_ref,
+                     o_ref, *, heads: int, scale: float, kv_valid: int,
+                     residual: bool):
+    q = q_ref[0]                        # (BQ, inner)
+    k = k_ref[0]                        # (Sk, inner)
+    v = v_ref[0]
+    wo = wo_ref[:]                      # (inner, C)
+    inner = q.shape[-1]
+    d = inner // heads
+    c = scale * LOG2E
+    masked = kv_valid < k.shape[0]
+    acc = None
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        qn = jnp.sqrt(jnp.sum(jnp.square(qh.astype(jnp.float32)), axis=-1,
+                              keepdims=True))
+        shift = qn * (kn_ref[0, h] * c) - SHIFT_BACKOFF     # (BQ, 1)
+        logits = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT) * c        # (BQ, Sk) log2
+        p = jnp.exp2(logits - shift)
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            p = jnp.where(col < kv_valid, p, 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)            # (BQ, d) fp32
+        oh = (oh / l).astype(q.dtype)
+        contrib = jax.lax.dot_general(
+            oh, wo[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)            # (BQ, C)
+        acc = contrib if acc is None else acc + contrib
+    acc = acc + bo_ref[:].astype(jnp.float32)
+    if residual:
+        acc = acc + x_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def attention_out_reference(q: jax.Array, k: jax.Array, v: jax.Array,
+                            x_res: jax.Array, wo: jax.Array, bo: jax.Array,
+                            heads: int, scale: float,
+                            residual: bool = True) -> jax.Array:
+    """Pure-XLA math of _attn_out_kernel — backward path + parity oracle.
+    q/k/v: (B, S, inner); x_res: (B, S, C); wo: (inner, C); bo: (C,)."""
+    b, s, inner = q.shape
+    d = inner // heads
+    qh = q.reshape(b, s, heads, d)
+    kh = k.reshape(b, k.shape[1], heads, d)
+    vh = v.reshape(b, k.shape[1], heads, d)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh.astype(jnp.float32) * scale,
+                        kh.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), vh,
+                   preferred_element_type=jnp.float32).astype(q.dtype)
+    out = jnp.dot(o.reshape(b * s, inner), wo,
+                  preferred_element_type=jnp.float32)
+    out = out + bo.astype(jnp.float32)
+    out = out.reshape(b, s, wo.shape[-1])
+    if residual:
+        out = out + x_res.astype(jnp.float32)
+    return out.astype(q.dtype)
+
+
+def flash_attention_out(q: jax.Array, k: jax.Array, v: jax.Array,
+                        x_res: jax.Array, wo: jax.Array, bo: jax.Array,
+                        heads: int, scale: float, residual: bool = True,
+                        block_q: int = 0,
+                        interpret: bool = False) -> jax.Array:
+    """Differentiable wrapper: Pallas forward, reference-XLA backward
+    (tvi/ops/diffable.py)."""
+    from tvi.ops.diffable import pallas_with_reference_vjp
+
+    fused = functools.partial(_flash_attention_out_fwd, heads=heads,
+                              scale=scale, residual=residual,
+                              block_q=block_q, interpret=interpret)
+    ref = functools.partial(attention_out_reference, heads=heads,
+                            scale=scale, residual=residual)
+    return pallas_with_reference_vjp(fused, ref, q, k, v, x_res, wo, bo)
+
+
+def _pick_block_q(s: int) -> int:
+    for bq in (BLOCK_Q, 192, 128, 96, 64, 32, 16, 8):
+        if s % bq == 0:
+            return bq
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "residual",
+                                             "block_q", "interpret"))
+def _flash_attention_out_fwd(q: jax.Array, k: jax.Array, v: jax.Array,
+                             x_res: jax.Array, wo: jax.Array, bo: jax.Array,
+                             heads: int, scale: float, residual: bool = True,
+                             block_q: int = 0,
+                             interpret: bool = False) -> jax.Array:
+    b, sq, inner = q.shape
+    sk_in = k.shape[1]
+    c_out = wo.shape[-1]
+    d = inner // heads
+    if not block_q:
+        block_q = _pick_block_q(sq)
+    pad_k = (-sk_in) % 128
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
+    sk = k.shape[1]
+    # max_j ||k_j|| per (batch, head) — tiny XLA reduction, fuses upstream
+    knorm = jnp.max(jnp.sqrt(jnp.sum(jnp.square(
+        k.astype(jnp.float32).reshape(b, sk, heads, d)), axis=-1)),
+        axis=1)                                             # (B, heads)
+    grid = (b, sq // block_q)
+    kernel = functools.partial(_attn_out_kernel, heads=heads, scale=scale,
+                               kv_valid=sk_in, residual=residual)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, inner), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, inner), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, inner), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads), lambda bi, i: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, c_out), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wo.shape, lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, c_out), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sq, c_out), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024),
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * sq * sk * inner + 2 * b * sq * inner * c_out,
+            bytes_accessed=(3 * b * sq * inner + 2 * b * sk * inner
+                            + 2 * b * sq * c_out) * 2,
+            transcendentals=b * heads * sq * sk,
+        ),
+        interpret=interpret,
+    )(q, k, v, knorm, x_res, wo, bo.reshape(1, c_out))
+    return out
+
+
+def attention_out_eligible(b: int, sq: int, sk: int, inner: int, c_out: int,
+                           heads: int) -> bool:
+    """Spatial self-attention shapes: d=64 heads, KV + logits fit VMEM."""
+    if inner % heads or (inner // heads) != 64:
+        return False
+    if c_out % 8:
+        return False
+    bq = _pick_block_q(sq)
+    if not bq or bq < 64 or sq < 2 * bq or sk < 128:
+        return False
+    sk_pad = sk + (-sk) % 128
+    vmem = (2 * sk_pad * inner * 2            # resident K/V
+            + bq * sk_pad * 4 * 2             # logits + p (fp32, per head)
+            + bq * inner * 2 * 3              # q block + slices
+            + 2 * bq * c_out * 4              # accumulator + out
+            + inner * c_out * 2)              # Wo
+    return vmem < 88 * 1024 * 1024

@@ -49,7 +49,12 @@ def _pad_f(f: int) -> int:
     return f + (-f) % _SUBLANE
 
 
-GROUP = 8  # rows per grouped-attention block (see _fused_kernel)
+# Rows per grouped-attention block (see _fused_kernel).  Measured on the
+# chip: grouping LOSES (ft320_g1 14.4 ms / g8 15.3 / g16 17.9 — perf_lab),
+# i.e. Mosaic's BR-batched tiny (Fp,d)x(d,Fp) dots are NOT the limiter;
+# the kernel sits at the in-kernel thin-N dot rate (~27 TF/s, still 2x the
+# unfused chain).  Default stays 1; TVI_TEMPORAL_GROUP keeps the A/B alive.
+GROUP = 1
 
 
 def _pick_block_r(f: int, c: int, c_out: int, group: int = GROUP) -> int:
