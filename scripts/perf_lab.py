@@ -762,6 +762,49 @@ exp("unet_fwd_nofusedff")(lambda: bench_unet_fwd(
     "unet_fwd_nofusedff", env={"TVI_FUSED_FF": "0"}))
 exp("unet_fwd_nofusedcross")(lambda: bench_unet_fwd(
     "unet_fwd_nofusedcross", env={"TVI_DISABLE_FUSED_CROSS": "1"}))
+exp("unet_fwd_noattnout")(lambda: bench_unet_fwd(
+    "unet_fwd_noattnout", env={"TVI_DISABLE_ATTN_OUT": "1"}))
+
+
+def bench_attn_out(name, b=50, s=9216, heads=5, c=0, iters=10):
+    """Spatial v4 kernel (attention + fused out-proj/residual epilogue) at
+    the model's spatial shapes."""
+    from tvi.ops.pallas_attention_out import flash_attention_out
+
+    c = c or heads * 64
+    inner = heads * 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    mk = lambda i, shape, sc=1.0: (jax.random.normal(ks[i], shape, jnp.bfloat16) * sc)
+    q = mk(0, (b, s, inner), 0.3)
+    k = mk(1, (b, s, inner), 0.3)
+    v = mk(2, (b, s, inner), 0.3)
+    x = mk(3, (b, s, c))
+    wo = mk(4, (inner, c), inner ** -0.5)
+    bo = jnp.zeros((c,), jnp.bfloat16)
+
+    @jax.jit
+    def run(q, k, v, x, wo, bo):
+        def body(i, cur):
+            out = flash_attention_out(q, k, v, cur, wo, bo, heads=heads,
+                                      scale=64 ** -0.5)
+            return (0.99 * out).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(q, k, v, x, wo, bo)
+    float(jnp.float32(out[0, 0, 0]))
+    t0 = time.perf_counter()
+    out = run(q, k, v, x, wo, bo)
+    float(jnp.float32(out[0, 0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    flops = 2 * 2 * b * s * s * inner + 2 * b * s * inner * c
+    report(name, dt, flops)
+
+
+exp("attn_out_320")(lambda: bench_attn_out("attn_out_320 (50,9216,i320)"))
+exp("attn_out_640")(lambda: bench_attn_out(
+    "attn_out_640 (50,2304,i640)", s=2304, heads=10))
+exp("attn_out_1280")(lambda: bench_attn_out(
+    "attn_out_1280 (50,576,i1280)", s=576, heads=20))
 
 
 exp("mmp_8k")(lambda: bench_mm_pallas("mmp_8k", 8192, 8192, 8192))

@@ -53,7 +53,7 @@ def _attn_out_kernel(q_ref, k_ref, v_ref, kn_ref, x_ref, wo_ref, bo_ref,
         qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
         qn = jnp.sqrt(jnp.sum(jnp.square(qh.astype(jnp.float32)), axis=-1,
                               keepdims=True))
-        shift = qn * (kn_ref[0, h] * c) - SHIFT_BACKOFF     # (BQ, 1)
+        shift = qn * (kn_ref[0, 0, h] * c) - SHIFT_BACKOFF  # (BQ, 1)
         logits = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -147,10 +147,12 @@ def _flash_attention_out_fwd(q: jax.Array, k: jax.Array, v: jax.Array,
         k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
     sk = k.shape[1]
-    # max_j ||k_j|| per (batch, head) — tiny XLA reduction, fuses upstream
+    # max_j ||k_j|| per (batch, head) — tiny XLA reduction, fuses upstream.
+    # Shaped (B, 1, heads) so the per-b block is (1, 1, heads) with both
+    # trailing dims equal to the array's (Mosaic block-shape rule).
     knorm = jnp.max(jnp.sqrt(jnp.sum(jnp.square(
         k.astype(jnp.float32).reshape(b, sk, heads, d)), axis=-1)),
-        axis=1)                                             # (B, heads)
+        axis=1)[:, None, :]                                 # (B, 1, heads)
     grid = (b, sq // block_q)
     kernel = functools.partial(_attn_out_kernel, heads=heads, scale=scale,
                                kv_valid=sk_in, residual=residual)
@@ -164,7 +166,7 @@ def _flash_attention_out_fwd(q: jax.Array, k: jax.Array, v: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sk, inner), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, heads), lambda bi, i: (bi, 0),
+            pl.BlockSpec((1, 1, heads), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, c_out), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
