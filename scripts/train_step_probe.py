@@ -107,11 +107,25 @@ def main():
             print(f"[mem:{tag}] unavailable: {e}", flush=True)
 
     mem("before_step")
-    print("compiling + running step 1 (AOT compile may take many minutes)",
+    print("compiling step 1 (AOT compile may take many minutes)", flush=True)
+    t0 = time.perf_counter()
+    compiled = step_fn.lower(state, frozen, batch,
+                             jax.random.PRNGKey(1)).compile()
+    try:
+        ma = compiled.memory_analysis()
+        print(f"[compiled] args {ma.argument_size_in_bytes/1e9:.2f} GB, "
+              f"out {ma.output_size_in_bytes/1e9:.2f} GB "
+              f"(alias {ma.alias_size_in_bytes/1e9:.2f}), "
+              f"temp {ma.temp_size_in_bytes/1e9:.2f} GB -> total "
+              f"{(ma.argument_size_in_bytes + ma.temp_size_in_bytes + ma.output_size_in_bytes - ma.alias_size_in_bytes)/1e9:.2f} GB"
+              f" of 15.75 usable", flush=True)
+    except Exception as e:  # tunnel backends may not expose analysis
+        print(f"[compiled] memory_analysis unavailable: {e}", flush=True)
+    print(f"compile done in {time.perf_counter() - t0:.0f} s; running step 1",
           flush=True)
     t0 = time.perf_counter()
     try:
-        state, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(1))
+        state, metrics = compiled(state, frozen, batch, jax.random.PRNGKey(1))
         loss = float(metrics["loss"])
     except Exception:
         mem("step1_failed")
@@ -122,7 +136,7 @@ def main():
     assert np.isfinite(loss)
 
     t0 = time.perf_counter()
-    state, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(2))
+    state, metrics = compiled(state, frozen, batch, jax.random.PRNGKey(2))
     loss = float(metrics["loss"])  # scalar readback = tunnel-safe sync
     t1 = time.perf_counter()
     print(f"step 2 (steady state): {t1 - t0:.2f} s, loss={loss:.5f}",

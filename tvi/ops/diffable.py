@@ -89,3 +89,55 @@ def chunked_sdpa_bh_reference(q: jax.Array, k: jax.Array, v: jax.Array,
     qb = jnp.moveaxis(q.reshape(bh, sq // block_q, block_q, d), 1, 0)
     out = jax.lax.map(lambda qc: att_block(qc, k, v), qb)
     return jnp.moveaxis(out, 0, 1).reshape(bh, sq, d)
+
+
+def _row_chunks(m: int, target: int = 16384) -> int:
+    """Largest row-block <= ~target that divides m (>=1024, else 0)."""
+    nb = -(-m // target)
+    while m % nb:
+        nb += 1
+    block = m // nb
+    return block if block >= 1024 else 0
+
+
+def chunked_ff_reference(x: jax.Array, ln_scale, ln_bias, w1, b1, w2, b2,
+                         eps: float = 1e-5, residual: bool = True) -> jax.Array:
+    """fused_ff_reference mapped over row blocks under ``jax.checkpoint``:
+    the FF backward's live set drops from the full (M, 2*inner) fp32 GEGLU
+    intermediates (~2 GB at the train geometry) to one block's — weight
+    cotangents accumulate across the lax.map scan."""
+    from tvi.ops.pallas_fused_ff import fused_ff_reference
+
+    m, c = x.shape
+    block_m = _row_chunks(m)
+    if not block_m or block_m == m:
+        return fused_ff_reference(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                                  eps=eps, residual=residual)
+
+    @jax.checkpoint
+    def blk(xc):
+        return fused_ff_reference(xc, ln_scale, ln_bias, w1, b1, w2, b2,
+                                  eps=eps, residual=residual)
+
+    out = jax.lax.map(blk, x.reshape(m // block_m, block_m, c))
+    return out.reshape(m, c)
+
+
+def chunked_attention_out_reference(q, k, v, x_res, wo, bo, heads: int,
+                                    scale: float,
+                                    residual: bool = True) -> jax.Array:
+    """attention_out_reference with the attention part routed through
+    chunked_sdpa_bh_reference: the naive reference materializes the full
+    (B, H, S, S) fp32 probabilities in its backward (~3.7 GB at the train
+    geometry's level-0 spatial shape); this bounds it to one query block."""
+    b, s, inner = q.shape
+    d = inner // heads
+    to_bh = lambda t: jnp.swapaxes(
+        t.reshape(b, t.shape[1], heads, d), 1, 2).reshape(b * heads, -1, d)
+    o = chunked_sdpa_bh_reference(to_bh(q), to_bh(k), to_bh(v), scale)
+    o = jnp.swapaxes(o.reshape(b, heads, s, d), 1, 2).reshape(b * s, inner)
+    out = jnp.dot(o.astype(q.dtype), wo, preferred_element_type=jnp.float32)
+    out = (out + bo.astype(jnp.float32)).reshape(b, s, wo.shape[-1])
+    if residual:
+        out = out + x_res.astype(jnp.float32)
+    return out.astype(q.dtype)

@@ -110,14 +110,18 @@ def flash_attention_out(q: jax.Array, k: jax.Array, v: jax.Array,
                         heads: int, scale: float, residual: bool = True,
                         block_q: int = 0,
                         interpret: bool = False) -> jax.Array:
-    """Differentiable wrapper: Pallas forward, reference-XLA backward
-    (tvi/ops/diffable.py)."""
-    from tvi.ops.diffable import pallas_with_reference_vjp
+    """Differentiable wrapper: Pallas forward, reference-XLA backward with
+    query-block-chunked attention (tvi/ops/diffable.py — the naive
+    reference's backward materializes (B,H,S,S) fp32 probabilities)."""
+    from tvi.ops.diffable import (
+        chunked_attention_out_reference,
+        pallas_with_reference_vjp,
+    )
 
     fused = functools.partial(_flash_attention_out_fwd, heads=heads,
                               scale=scale, residual=residual,
                               block_q=block_q, interpret=interpret)
-    ref = functools.partial(attention_out_reference, heads=heads,
+    ref = functools.partial(chunked_attention_out_reference, heads=heads,
                             scale=scale, residual=residual)
     return pallas_with_reference_vjp(fused, ref, q, k, v, x_res, wo, bo)
 

@@ -88,13 +88,14 @@ def fused_feedforward(x: jax.Array, ln_scale, ln_bias, w1: jax.Array,
                       b1: jax.Array, w2: jax.Array, b2: jax.Array,
                       eps: float = 1e-5, residual: bool = True,
                       bm: int = BM, interpret: bool = False) -> jax.Array:
-    """Differentiable wrapper: Pallas forward, reference-XLA backward
-    (tvi/ops/diffable.py)."""
-    from tvi.ops.diffable import pallas_with_reference_vjp
+    """Differentiable wrapper: Pallas forward, row-chunked reference-XLA
+    backward (tvi/ops/diffable.py::chunked_ff_reference bounds the
+    backward's live GEGLU intermediates to one row block)."""
+    from tvi.ops.diffable import chunked_ff_reference, pallas_with_reference_vjp
 
     fused = functools.partial(_fused_ff_fwd, eps=eps, residual=residual,
                               bm=bm, interpret=interpret)
-    ref = functools.partial(fused_ff_reference, eps=eps, residual=residual)
+    ref = functools.partial(chunked_ff_reference, eps=eps, residual=residual)
     return pallas_with_reference_vjp(fused, ref, x, ln_scale, ln_bias,
                                      w1, b1, w2, b2)
 
