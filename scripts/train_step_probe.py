@@ -57,25 +57,35 @@ def main():
                                  dtype=dtype, param_dtype=jnp.float32)
 
     print("initializing params ...", flush=True)
-    rng = jax.random.PRNGKey(0)
-    r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
-    unet_params = unet.init_params(r1)
-    unet_train, unet_frozen = partition_params(unet_params, temporal_predicate)
     from tvi.core.precision import DEFAULT_POLICY
-    # frozen weights at compute dtype (reference weight_dtype semantics,
-    # src/train.py:269-296): fp32 frozen weights alone push the full-size
-    # step to 16.67 GB on a 15.75 GB chip (round-3 OOM probe)
-    frozen = DEFAULT_POLICY.cast_to_compute({
-        "unet": unet_frozen,
-        "vae": vae.init(r2, jnp.zeros((1, 64, 64, 3), dtype), 1),
-        "clip": clip.init(r3, jnp.zeros((1, 224, 224, 3), dtype)),
-        "mask_token": jax.random.normal(r5, (4,)),
-    })
-    del unet_params, unet_frozen  # drop the fp32 originals from HBM
-    trainable = {
-        "unet": unet_train,
-        "projector": projector.init(r4, jnp.zeros((1, 1, 2048), dtype)),
-    }
+
+    # Build EVERYTHING inside one jitted program: the fp32 init
+    # intermediates (5.8 GB UNet tree + module-init temps) become program
+    # temps guaranteed freed at program exit, instead of thousands of
+    # host-visible allocations whose free pattern fragments the 15.75 GB
+    # arena before the step's big contiguous temps are requested.
+    # Frozen weights live at compute dtype (reference weight_dtype
+    # semantics, src/train.py:269-296): fp32 frozen weights alone push the
+    # full-size step to 16.67 GB at compile (round-3 OOM probe).
+    @jax.jit
+    def build(rng):
+        r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
+        unet_params = unet.init_params(r1)
+        unet_train, unet_frozen = partition_params(unet_params,
+                                                   temporal_predicate)
+        frozen = DEFAULT_POLICY.cast_to_compute({
+            "unet": unet_frozen,
+            "vae": vae.init(r2, jnp.zeros((1, 64, 64, 3), dtype), 1),
+            "clip": clip.init(r3, jnp.zeros((1, 224, 224, 3), dtype)),
+            "mask_token": jax.random.normal(r5, (4,)),
+        })
+        trainable = {
+            "unet": unet_train,
+            "projector": projector.init(r4, jnp.zeros((1, 1, 2048), dtype)),
+        }
+        return trainable, frozen
+
+    trainable, frozen = build(jax.random.PRNGKey(0))
     n_train = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(trainable))
     n_total = n_train + sum(int(np.prod(x.shape)) for x in jax.tree.leaves(frozen))
     print(f"trainable {n_train/1e6:.1f}M / total {n_total/1e9:.2f}B params",

@@ -98,26 +98,36 @@ def main(argv=None):
     cn = ControlNetSVDModel(ControlNetConfig.from_unet(unet_cfg), dtype=dtype)
 
     rng = jax.random.PRNGKey(args.seed)
-    r1, r2, r3, r4, r_train = jax.random.split(rng, 5)
-    unet_params = unet.init_params(r1)
-    vae_params = vae.init(r2, jnp.zeros((1, 32, 32, 3), dtype), 1)
-    clip_params = clip.init(
-        r3, jnp.zeros((1, clip_cfg.image_size, clip_cfg.image_size, 3), dtype))
-    lat = 8  # init shapes are resolution-independent
-    cn_params = cn.init(
-        r4, jnp.zeros((1, 2, lat, lat, 8), dtype), jnp.zeros(()),
-        jnp.zeros((1, 1, unet_cfg.cross_attention_dim), dtype), jnp.zeros((1, 3)),
-        jnp.zeros((1, 2, lat * 8, lat * 8, 3), dtype))
+    r_init, r_train = jax.random.split(rng)
+
+    # one jitted init program (fp32 intermediates = freed program temps;
+    # avoids the arena fragmentation that OOMed the full-size step —
+    # PERF.md round 3) with frozen UNet/VAE/CLIP at compute dtype —
+    # reference weight_dtype semantics (train_svd.py loads frozen models
+    # at weight_dtype)
+    @jax.jit
+    def build_params(rng):
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        lat = 8  # init shapes are resolution-independent
+        cn_params = cn.init(
+            r4, jnp.zeros((1, 2, lat, lat, 8), dtype), jnp.zeros(()),
+            jnp.zeros((1, 1, unet_cfg.cross_attention_dim), dtype),
+            jnp.zeros((1, 3)),
+            jnp.zeros((1, 2, lat * 8, lat * 8, 3), dtype))
+        frozen = policy.cast_to_compute({
+            "unet": unet.init_params(r1),
+            "vae": vae.init(r2, jnp.zeros((1, 32, 32, 3), dtype), 1),
+            "clip": clip.init(r3, jnp.zeros(
+                (1, clip_cfg.image_size, clip_cfg.image_size, 3), dtype)),
+        })
+        return cn_params, frozen
+
+    cn_params, frozen = build_params(r_init)
     print(f"[train_controlnet] controlnet params: {count_params(cn_params):,}", flush=True)
 
     step_fn, optimizer = make_controlnet_train_step(
         unet=unet, vae=vae, clip=clip, controlnet=cn, cfg=cfg, mesh=mesh, dtype=dtype)
     state = create_train_state(cn_params, optimizer, use_ema=args.use_ema)
-    # frozen UNet/VAE/CLIP at compute dtype — reference weight_dtype
-    # semantics (train_svd.py loads frozen models at weight_dtype)
-    frozen = policy.cast_to_compute(
-        {"unet": unet_params, "vae": vae_params, "clip": clip_params})
-    del unet_params, vae_params, clip_params  # drop fp32 originals from HBM
 
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
                              total_limit=args.checkpoints_total_limit,

@@ -182,41 +182,50 @@ def main(argv=None):
             ControlNetConfig.from_unet(unet_cfg), dtype=dtype)
 
     rng = jax.random.PRNGKey(args.seed)
-    r_unet, r_vae, r_clip, r_proj, r_me, r_mask, r_train = jax.random.split(rng, 7)
+    r_init, r_train = jax.random.split(rng)
     print(f"[train_interp] initializing params (devices={n_dev}, dtype={dtype.__name__})",
           flush=True)
-    unet_params = unet.init_params(r_unet)
-    vae_params = vae.init(r_vae, jnp.zeros((1, 32, 32, 3), dtype), 1)
-    clip_params = clip.init(
-        r_clip, jnp.zeros((1, clip_cfg.image_size, clip_cfg.image_size, 3), dtype))
-    proj_params = projector.init(r_proj, jnp.zeros((1, 1, proj_in), dtype))
-    mask_token = jax.random.normal(r_mask, (4,), jnp.float32)
 
-    unet_train, unet_frozen = partition_params(unet_params, temporal_predicate)
-    trainable = {"unet": unet_train, "projector": proj_params}
-    if motion_encoder is not None:
-        trainable["motion_encoder"] = motion_encoder.init(
-            r_me, jnp.zeros((1, 64, 64, 1), dtype))
-    frozen = {"unet": unet_frozen, "vae": vae_params, "clip": clip_params,
-              "mask_token": mask_token}
-    if controlnet is not None:
-        cn_cfg = controlnet.config
-        frozen["controlnet"] = controlnet.init(
-            jax.random.fold_in(r_me, 1),
-            jnp.zeros((1, 2, 8, 8, cn_cfg.in_channels), dtype), jnp.zeros(()),
-            (jnp.zeros((1, 2, cn_cfg.cross_attention_dim), dtype),
-             jnp.zeros((1, 1, cn_cfg.cross_attention_dim), dtype)),
-            jnp.zeros((1, 3)),
-            jnp.zeros((1, 2, 64, 64, cn_cfg.conditioning_channels), dtype))
+    # ONE jitted init program: the fp32 init intermediates (UNet tree +
+    # module-init temps) are program temps freed at program exit — a
+    # host-side init sequence fragments the 16 GB arena badly enough that
+    # the full-size step RESOURCE_EXHAUSTs afterwards (PERF.md round-3
+    # probe).  Frozen weights come out at the compute dtype — the
+    # reference holds its frozen vae/image_encoder at weight_dtype
+    # (src/train.py:269-296); compute casts params at use anyway, so this
+    # halves their HBM without changing the loss.
+    @jax.jit
+    def build_params(rng):
+        r_unet, r_vae, r_clip, r_proj, r_me, r_mask = jax.random.split(rng, 6)
+        unet_train, unet_frozen = partition_params(
+            unet.init_params(r_unet), temporal_predicate)
+        trainable = {"unet": unet_train,
+                     "projector": projector.init(
+                         r_proj, jnp.zeros((1, 1, proj_in), dtype))}
+        if motion_encoder is not None:
+            trainable["motion_encoder"] = motion_encoder.init(
+                r_me, jnp.zeros((1, 64, 64, 1), dtype))
+        frozen = {
+            "unet": unet_frozen,
+            "vae": vae.init(r_vae, jnp.zeros((1, 32, 32, 3), dtype), 1),
+            "clip": clip.init(r_clip, jnp.zeros(
+                (1, clip_cfg.image_size, clip_cfg.image_size, 3), dtype)),
+            "mask_token": jax.random.normal(r_mask, (4,), jnp.float32),
+        }
+        if controlnet is not None:
+            cn_cfg = controlnet.config
+            frozen["controlnet"] = controlnet.init(
+                jax.random.fold_in(r_me, 1),
+                jnp.zeros((1, 2, 8, 8, cn_cfg.in_channels), dtype), jnp.zeros(()),
+                (jnp.zeros((1, 2, cn_cfg.cross_attention_dim), dtype),
+                 jnp.zeros((1, 1, cn_cfg.cross_attention_dim), dtype)),
+                jnp.zeros((1, 3)),
+                jnp.zeros((1, 2, 64, 64, cn_cfg.conditioning_channels), dtype))
+        return trainable, policy.cast_to_compute(frozen)
+
+    trainable, frozen = build_params(r_init)
     print(f"[train_interp] trainable params: {count_params(trainable):,} / "
           f"total {count_params(trainable) + count_params(frozen):,}", flush=True)
-    # Frozen weights live on-device in the compute dtype — the reference
-    # holds its frozen vae/image_encoder at weight_dtype (src/train.py:
-    # 269-296); compute casts params to bf16 at use anyway, so this halves
-    # their HBM without changing the loss.  Full-size 512x320x14f batch-2
-    # does not fit 16 GB with fp32 frozen weights (PERF.md round-3 probe).
-    frozen = policy.cast_to_compute(frozen)
-    del unet_params, unet_frozen, vae_params, clip_params  # fp32 originals
 
     step_fn, optimizer = make_interp_train_step(
         unet=unet, vae=vae, clip=clip, projector=projector, cfg=cfg,
