@@ -47,7 +47,7 @@ def _attn_out_kernel(q_ref, k_ref, v_ref, kn_ref, x_ref, wo_ref, bo_ref,
     d = inner // heads
     c = scale * LOG2E
     masked = kv_valid < k.shape[0]
-    acc = None
+    ohs = []
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
@@ -67,12 +67,15 @@ def _attn_out_kernel(q_ref, k_ref, v_ref, kn_ref, x_ref, wo_ref, bo_ref,
             p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT)            # (BQ, d) fp32
-        oh = (oh / l).astype(q.dtype)
-        contrib = jax.lax.dot_general(
-            oh, wo[sl, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)            # (BQ, C)
-        acc = contrib if acc is None else acc + contrib
+        ohs.append((oh / l).astype(q.dtype))
+    # one full-K out-projection dot instead of `heads` thin-K=64 dots: the
+    # lane-concat of the 64-wide head outputs is a 160 KB relayout, far
+    # cheaper than the MXU issue overhead of 5 quarter-depth dots
+    o_cat = ohs[0] if heads == 1 else jnp.concatenate(ohs, axis=1)
+    acc = jax.lax.dot_general(
+        o_cat, wo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)                # (BQ, C)
     acc = acc + bo_ref[:].astype(jnp.float32)
     if residual:
         acc = acc + x_ref[0].astype(jnp.float32)
