@@ -764,6 +764,8 @@ exp("unet_fwd_nofusedcross")(lambda: bench_unet_fwd(
     "unet_fwd_nofusedcross", env={"TVI_DISABLE_FUSED_CROSS": "1"}))
 exp("unet_fwd_noattnout")(lambda: bench_unet_fwd(
     "unet_fwd_noattnout", env={"TVI_DISABLE_ATTN_OUT": "1"}))
+exp("unet_fwd_noflat")(lambda: bench_unet_fwd(
+    "unet_fwd_noflat", env={"TVI_TEMPORAL_FLAT": "0"}))
 
 
 def bench_attn_out(name, b=50, s=9216, heads=5, c=0, iters=10):

@@ -234,7 +234,9 @@ class TestTemporalRowsKernel:
 
 class TestFusedTemporalSelfAttention:
     @pytest.mark.parametrize("r,f,c,heads", [(300, 25, 128, 2), (512, 14, 256, 4)])
-    def test_parity_with_unfused(self, rng, r, f, c, heads):
+    @pytest.mark.parametrize("flat", ["0", "1"])
+    def test_parity_with_unfused(self, rng, r, f, c, heads, flat, monkeypatch):
+        monkeypatch.setenv("TVI_TEMPORAL_FLAT", flat)
         from tvi.ops.pallas_fused_temporal import fused_temporal_self_attention
 
         d = c // heads

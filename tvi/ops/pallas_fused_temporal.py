@@ -135,6 +135,68 @@ def _fused_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *,
     o_ref[:] = acc.reshape(br, fp, wo.shape[-1]).astype(o_ref.dtype)
 
 
+def _flat_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *,
+                 heads: int, scale: float, f: int):
+    """Flat-F variant: the block is P whole pixels x F frames = (BM, C)
+    rows with NO frame padding (the collapsed (BR,F,C)->(BR*F,C) reshape
+    of _fused_kernel needs F % 16; flat blocks only need BM % 8, so F=25
+    streams 25 rows/pixel instead of 32 — a 28% M-traffic saving).  Each
+    head runs ONE (BM, d) x (d, BM) logits dot; an F-block-diagonal mask
+    kills cross-pixel products; the out-projection is one full-K dot on
+    the lane-concat of head outputs."""
+    x2 = x_ref[:]                                   # (BM, C)
+    bm = x2.shape[0]
+    wq, wk, wv, wo = wq_ref[:], wk_ref[:], wv_ref[:], wo_ref[:]
+    mm2 = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+    inner = wq.shape[-1]
+    d = inner // heads
+    q = mm2(x2, wq).astype(x2.dtype)                # (BM, inner)
+    k = mm2(x2, wk).astype(x2.dtype)
+    v = mm2(x2, wv).astype(x2.dtype)
+    # grouped batching: 8 pixels share one (8F, d) x (d, 8F) dot — 8F is a
+    # sublane multiple for any F, and the masked-FLOP waste stays 8x the
+    # tiny attention core (a whole-block BMxBM dot would waste P x)
+    gfp = 8 * f
+    nb = bm // gfp
+    row = jax.lax.broadcasted_iota(jnp.int32, (gfp, gfp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (gfp, gfp), 1)
+    keep = (row // f) == (col // f)
+    ohs = []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q[:, sl].reshape(nb, gfp, d)
+        kh = k[:, sl].reshape(nb, gfp, d)
+        vh = v[:, sl].reshape(nb, gfp, d)
+        logits = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT) * scale   # (nb, gfp, gfp)
+        logits = jnp.where(keep[None], logits, -1e30)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            (p / l).astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)           # (nb, gfp, d)
+        ohs.append(oh.reshape(bm, d).astype(x2.dtype))
+    o_cat = ohs[0] if heads == 1 else jnp.concatenate(ohs, axis=1)
+    acc = mm2(o_cat, wo) + bo_ref[:].astype(jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _pick_flat_pixels(f: int, c: int, c_out: int) -> int:
+    """Pixels per program: BM = f*P rows, BM % 8 == 0, logits fp32 in
+    budget (~2048-row blocks)."""
+    p = 8  # grouped dots take 8 pixels each (gfp = 8F)
+    while f * p * 2 <= 2048:
+        p *= 2
+    return p
+
+
 def fused_temporal_reference(x: jax.Array, wq: jax.Array, wk: jax.Array,
                              wv: jax.Array, wo: jax.Array, bo: jax.Array,
                              heads: int, scale: float) -> jax.Array:
@@ -174,12 +236,69 @@ def fused_temporal_self_attention(x: jax.Array, wq: jax.Array, wk: jax.Array,
 
     if not group:
         group = int(os.environ.get("TVI_TEMPORAL_GROUP") or 0) or GROUP
-    fused = functools.partial(_fused_temporal_fwd, heads=heads, scale=scale,
-                              block_r=block_r, group=group,
-                              interpret=interpret)
+    # flat-F path: default wherever the padded collapse would waste frames
+    # (F % 16 != 0); TVI_TEMPORAL_FLAT=0/1 forces it off/on for A/B.
+    flat_env = os.environ.get("TVI_TEMPORAL_FLAT", "")
+    f = x.shape[1]
+    use_flat = (f % _SUBLANE != 0) if not flat_env else flat_env == "1"
+    if use_flat and x.shape[0] >= _pick_flat_pixels(f, x.shape[2],
+                                                    wo.shape[-1]):
+        fused = functools.partial(_flat_temporal_fwd, heads=heads,
+                                  scale=scale, interpret=interpret)
+    else:
+        fused = functools.partial(_fused_temporal_fwd, heads=heads,
+                                  scale=scale, block_r=block_r, group=group,
+                                  interpret=interpret)
     ref = functools.partial(fused_temporal_reference, heads=heads,
                             scale=scale)
     return pallas_with_reference_vjp(fused, ref, x, wq, wk, wv, wo, bo)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def _flat_temporal_fwd(x: jax.Array, wq: jax.Array, wk: jax.Array,
+                       wv: jax.Array, wo: jax.Array, bo: jax.Array,
+                       heads: int, scale: float,
+                       interpret: bool = False) -> jax.Array:
+    """Flat-F dispatch: x (R, F, C) -> (R*F, C) with whole-pixel blocks
+    (see _flat_kernel).  R is zero-padded to the per-program pixel count;
+    padded pixels produce finite garbage sliced off here."""
+    r, f, c = x.shape
+    c_out = wo.shape[-1]
+    p = _pick_flat_pixels(f, c, c_out)
+    pad_r = (-r) % p
+    if pad_r:
+        x = jnp.pad(x, ((0, pad_r), (0, 0), (0, 0)))
+    rp = x.shape[0]
+    bm = f * p
+    x2 = x.reshape(rp * f, c)
+    grid = (rp // p,)
+    w_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    kernel = functools.partial(_flat_kernel, heads=heads, scale=scale, f=f)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            w_spec(wq.shape), w_spec(wk.shape), w_spec(wv.shape),
+            w_spec(wo.shape), w_spec(bo.reshape(1, c_out).shape),
+        ],
+        out_specs=pl.BlockSpec((bm, c_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp * f, c_out), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024),
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * f * c * (3 * wq.shape[-1] + c_out)
+            + 4 * rp * heads * f * bm * (wq.shape[-1] // heads),
+            bytes_accessed=2 * rp * f * (c + c_out) * 2,
+            transcendentals=rp * heads * f * bm,
+        ),
+        interpret=interpret,
+    )(x2, wq, wk, wv, wo, bo.reshape(1, c_out))
+    return out[:r * f].reshape(r, f, c_out)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "block_r",
