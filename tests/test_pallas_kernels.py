@@ -458,3 +458,28 @@ class TestFlashAttentionOut:
         assert attention_out_eligible(50, 576, 576, 1280, 1280, 20)
         assert not attention_out_eligible(50, 9216, 9216, 320, 320, 4)  # d!=64
         assert not attention_out_eligible(50, 100, 100, 320, 320, 5)    # tiny S
+
+    @pytest.mark.parametrize("b,s,heads,c_out", [(2, 512, 2, 128),
+                                                 (1, 256, 5, 320)])
+    def test_packed_matches_split(self, rng, b, s, heads, c_out):
+        from tvi.ops.pallas_attention_out import (
+            attention_out_reference,
+            flash_attention_out_packed,
+        )
+        d = 64
+        inner = heads * d
+        ks = jax.random.split(rng, 4)
+        qkv = jax.random.normal(ks[0], (b, s, 3 * inner))
+        x_res = jax.random.normal(ks[1], (b, s, c_out))
+        wo = jax.random.normal(ks[2], (inner, c_out)) * inner ** -0.5
+        bo = jax.random.normal(ks[3], (c_out,)) * 0.1
+        scale = d ** -0.5
+        got = flash_attention_out_packed(qkv, x_res, wo, bo, heads=heads,
+                                         scale=scale, block_q=128,
+                                         interpret=True)
+        q, k, v = (qkv[..., :inner], qkv[..., inner:2 * inner],
+                   qkv[..., 2 * inner:])
+        want = attention_out_reference(q, k, v, x_res, wo, bo, heads=heads,
+                                       scale=scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-4, rtol=3e-4)

@@ -593,14 +593,15 @@ class Attention(nn.Module):
             qkv = hidden_states @ wqkv
             if bq is not None:
                 qkv = qkv + jnp.concatenate([bq, bk, bv])
-            q, k, v = jnp.split(qkv, 3, axis=-1)
 
             # Spatial self-attention v4 (tvi/ops/pallas_attention_out.py):
             # head-looped bound-shift flash over the natural (B, S, inner)
             # layout with out-projection + bias + sublayer residual in the
             # epilogue — removes the head-split transposes, the thin-N
             # out-projection pass and the residual pass (each an HBM
-            # M-pass on the input-streaming wall, PERF.md round-3).
+            # M-pass on the input-streaming wall, PERF.md round-3).  The
+            # packed variant consumes the fused QKV buffer directly so the
+            # XLA split (3 more full M-pass slice copies) never happens.
             if (bias is None and not want_stats
                     and not self.residual_connection and residual_add
                     and self.norm_num_groups is None
@@ -612,16 +613,27 @@ class Attention(nn.Module):
                     and _default_attn_shift() == "bound_unguarded"):
                 from tvi.ops.pallas_attention_out import (
                     attention_out_eligible,
+                    attention_out_packed_eligible,
                     flash_attention_out,
+                    flash_attention_out_packed,
                 )
 
-                bsz, seq = q.shape[0], q.shape[1]
+                bsz, seq = qkv.shape[0], qkv.shape[1]
+                if (attention_out_packed_eligible(
+                        bsz, seq, inner, out_features, self.heads)
+                        and not os.environ.get("TVI_DISABLE_ATTN_PACKED")):
+                    return flash_attention_out_packed(
+                        qkv, residual.astype(self.dtype), wo, bo,
+                        heads=self.heads, scale=self.dim_head ** -0.5,
+                        residual=True)
                 if attention_out_eligible(bsz, seq, seq, inner, out_features,
                                           self.heads):
+                    q, k, v = jnp.split(qkv, 3, axis=-1)
                     return flash_attention_out(
                         q, k, v, residual.astype(self.dtype), wo, bo,
                         heads=self.heads, scale=self.dim_head ** -0.5,
                         residual=True)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q = apply_dense(hidden_states, wq, bq)
             k = apply_dense(context, wk, bk)

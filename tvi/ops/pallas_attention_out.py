@@ -38,19 +38,29 @@ BLOCK_Q = 256
 
 def _attn_out_kernel(q_ref, k_ref, v_ref, kn_ref, x_ref, wo_ref, bo_ref,
                      o_ref, *, heads: int, scale: float, kv_valid: int,
-                     residual: bool):
-    q = q_ref[0]                        # (BQ, inner)
-    k = k_ref[0]                        # (Sk, inner)
+                     residual: bool, packed: bool = False):
+    """``packed``: q_ref/k_ref/v_ref are views of ONE (…, 3*inner) fused
+    QKV projection buffer (q block rows / full-S rows); per-head 64-lane
+    slices at offsets h*d, inner + h*d, 2*inner + h*d are all tile-aligned,
+    so the XLA-side split of the fused projection (3 full M-pass slice
+    copies) never materializes."""
+    q = q_ref[0]                        # (BQ, inner) or (BQ, 3*inner)
+    k = k_ref[0]                        # (Sk, inner) or (Sk, 3*inner)
     v = v_ref[0]
     wo = wo_ref[:]                      # (inner, C)
-    inner = q.shape[-1]
+    inner = wo.shape[0]
     d = inner // heads
     c = scale * LOG2E
     masked = kv_valid < k.shape[0]
     ohs = []
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        if packed:
+            qh = q[:, h * d:(h + 1) * d]
+            kh = k[:, inner + h * d:inner + (h + 1) * d]
+            vh = v[:, 2 * inner + h * d:2 * inner + (h + 1) * d]
+        else:
+            qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
         qn = jnp.sqrt(jnp.sum(jnp.square(qh.astype(jnp.float32)), axis=-1,
                               keepdims=True))
         shift = qn * (kn_ref[0, 0, h] * c) - SHIFT_BACKOFF  # (BQ, 1)
@@ -106,6 +116,109 @@ def attention_out_reference(q: jax.Array, k: jax.Array, v: jax.Array,
     if residual:
         out = out + x_res.astype(jnp.float32)
     return out.astype(q.dtype)
+
+
+def _attn_out_kernel_packed(qkvq_ref, qkvfull_ref, kn_ref, x_ref, wo_ref,
+                            bo_ref, o_ref, *, heads: int, scale: float,
+                            kv_valid: int, residual: bool):
+    _attn_out_kernel(qkvq_ref, qkvfull_ref, qkvfull_ref, kn_ref, x_ref,
+                     wo_ref, bo_ref, o_ref, heads=heads, scale=scale,
+                     kv_valid=kv_valid, residual=residual, packed=True)
+
+
+def flash_attention_out_packed(qkv: jax.Array, x_res: jax.Array,
+                               wo: jax.Array, bo: jax.Array,
+                               heads: int, scale: float,
+                               residual: bool = True, block_q: int = 0,
+                               interpret: bool = False) -> jax.Array:
+    """v4 on the FUSED (B, S, 3*inner) QKV projection buffer directly —
+    the XLA split into q/k/v (3 full M-pass slice copies feeding the
+    kernel operands) never happens; per-head slices are taken in-kernel
+    at 64-lane-aligned offsets.  Differentiable via the same chunked
+    reference (which splits in the rematerialized backward)."""
+    from tvi.ops.diffable import (
+        chunked_attention_out_reference,
+        pallas_with_reference_vjp,
+    )
+
+    inner = wo.shape[0]
+
+    def ref(qkv, x_res, wo, bo):
+        q = qkv[..., :inner]
+        k = qkv[..., inner:2 * inner]
+        v = qkv[..., 2 * inner:]
+        return chunked_attention_out_reference(q, k, v, x_res, wo, bo,
+                                               heads=heads, scale=scale,
+                                               residual=residual)
+
+    fused = functools.partial(_flash_attention_out_packed_fwd, heads=heads,
+                              scale=scale, residual=residual,
+                              block_q=block_q, interpret=interpret)
+    return pallas_with_reference_vjp(fused, ref, qkv, x_res, wo, bo)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "residual",
+                                             "block_q", "interpret"))
+def _flash_attention_out_packed_fwd(qkv: jax.Array, x_res: jax.Array,
+                                    wo: jax.Array, bo: jax.Array,
+                                    heads: int, scale: float,
+                                    residual: bool = True, block_q: int = 0,
+                                    interpret: bool = False) -> jax.Array:
+    b, s, three_inner = qkv.shape
+    inner = three_inner // 3
+    c_out = wo.shape[-1]
+    d = inner // heads
+    if not block_q:
+        block_q = _pick_block_q(s)
+    knorm = jnp.max(jnp.sqrt(jnp.sum(jnp.square(
+        qkv[..., inner:2 * inner].astype(jnp.float32)
+        .reshape(b, s, heads, d)), axis=-1)), axis=1)[:, None, :]
+    grid = (b, s // block_q)
+    kernel = functools.partial(_attn_out_kernel_packed, heads=heads,
+                               scale=scale, kv_valid=s, residual=residual)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, three_inner), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, three_inner), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, heads), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, c_out), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wo.shape, lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, c_out), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, c_out), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024),
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * s * s * inner + 2 * b * s * inner * c_out,
+            bytes_accessed=(2 * b * s * three_inner + 2 * b * s * c_out) * 2,
+            transcendentals=b * heads * s * s,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, knorm, x_res, wo, bo.reshape(1, c_out))
+
+
+def attention_out_packed_eligible(b: int, s: int, inner: int, c_out: int,
+                                  heads: int) -> bool:
+    """Packed variant needs unpadded S: whole blocks and 128-lane K/V."""
+    if not attention_out_eligible(b, s, s, inner, c_out, heads):
+        return False
+    bq = _pick_block_q(s)
+    if s % 128 or bq % 128:
+        return False
+    # resident full-S qkv block (3x wider than split K/V)
+    return (s * 3 * inner * 2 + bq * s * 4 * 2) < 80 * 1024 * 1024
 
 
 def flash_attention_out(q: jax.Array, k: jax.Array, v: jax.Array,
