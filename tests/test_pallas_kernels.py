@@ -483,3 +483,114 @@ class TestFlashAttentionOut:
                                        scale=scale)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-4, rtol=3e-4)
+
+
+class TestLnAttentionOutV5:
+    """v5 whole-sublayer kernel (LN + QKV + flash + out-proj + residual)
+    vs the unfused XLA composition (tvi/ops/pallas_attention_v5.py)."""
+
+    @pytest.mark.parametrize("b,s,c,heads,residual", [
+        (2, 512, 128, 2, True),      # level-like small shape
+        (1, 1024, 320, 5, True),     # level-0-like channel count
+        (2, 512, 128, 2, False),
+    ])
+    def test_matches_unfused(self, rng, b, s, c, heads, residual):
+        from tvi.models.layers import layer_norm
+        from tvi.ops.pallas_attention_out import attention_out_reference
+        from tvi.ops.pallas_attention_v5 import (
+            fused_ln_attention_out,
+            ln_attention_out_eligible,
+        )
+        d = 64
+        inner = heads * d
+        ks = jax.random.split(rng, 6)
+        x = jax.random.normal(ks[0], (b, s, c))
+        lns = jax.random.normal(ks[1], (c,)) * 0.2 + 1.0
+        lnb = jax.random.normal(ks[2], (c,)) * 0.2
+        wq = jax.random.normal(ks[3], (c, inner)) * c ** -0.5
+        wkv = jax.random.normal(ks[4], (c, 2 * inner)) * c ** -0.5
+        wo = jax.random.normal(ks[5], (inner, c)) * inner ** -0.5
+        bo = jnp.arange(c, dtype=jnp.float32) * 1e-3
+        scale = d ** -0.5
+        assert ln_attention_out_eligible(b, s, c, inner, c, heads)
+
+        got = fused_ln_attention_out(x, lns, lnb, wq, wkv, wo, bo,
+                                     heads=heads, scale=scale,
+                                     residual=residual, block_q=128,
+                                     interpret=True)
+        xn = layer_norm(x, lns, lnb)
+        want = attention_out_reference(xn @ wq, xn @ wkv[:, :inner],
+                                       xn @ wkv[:, inner:], x, wo, bo,
+                                       heads=heads, scale=scale,
+                                       residual=residual)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-4, rtol=3e-4)
+
+    def test_gradient_finite(self, rng):
+        from tvi.ops.pallas_attention_v5 import fused_ln_attention_out
+        b, s, c, heads = 1, 256, 128, 2
+        inner = heads * 64
+        ks = jax.random.split(rng, 5)
+        x = jax.random.normal(ks[0], (b, s, c))
+        lns, lnb = jnp.ones((c,)), jnp.zeros((c,))
+        wq = jax.random.normal(ks[1], (c, inner)) * 0.05
+        wkv = jax.random.normal(ks[2], (c, 2 * inner)) * 0.05
+        wo = jax.random.normal(ks[3], (inner, c)) * 0.05
+        bo = jnp.zeros((c,))
+
+        def loss(wq_, x_):
+            out = fused_ln_attention_out(x_, lns, lnb, wq_, wkv, wo, bo,
+                                         heads=heads, scale=64 ** -0.5,
+                                         block_q=128, interpret=True)
+            return jnp.sum(out ** 2)
+
+        gw, gx = jax.grad(loss, argnums=(0, 1))(wq, x)
+        assert np.isfinite(np.asarray(gw)).all()
+        assert np.isfinite(np.asarray(gx)).all()
+        assert float(jnp.abs(gx).max()) > 0
+
+    def test_eligibility(self):
+        from tvi.ops.pallas_attention_v5 import ln_attention_out_eligible
+        assert ln_attention_out_eligible(50, 9216, 320, 320, 320, 5)
+        assert ln_attention_out_eligible(50, 2304, 640, 640, 640, 10)
+        # 1280 level: S=576 is not 128-aligned -> falls back to v4
+        assert not ln_attention_out_eligible(50, 576, 1280, 1280, 1280, 20)
+        assert not ln_attention_out_eligible(50, 9216, 320, 320, 320, 4)
+
+    def test_dispatch_through_attention_module(self, rng, monkeypatch):
+        """Force the flash path with the v5 kernel in interpret mode and
+        compare against the pure-XLA Attention path (flash disabled) —
+        validates the layers.py gating, wkv concat order, eps and the
+        residual semantics at the dispatch site."""
+        import tvi.ops.pallas_attention_v5 as v5
+        from tvi.models.layers import Attention
+
+        monkeypatch.setenv("TVI_ATTN_SHIFT", "bound_unguarded")
+        b, s, c, heads = 2, 512, 128, 2
+        x = jax.random.normal(rng, (b, s, c))
+        lns = jax.random.normal(jax.random.PRNGKey(7), (c,)) * 0.2 + 1.0
+        lnb = jax.random.normal(jax.random.PRNGKey(8), (c,)) * 0.2
+        attn = Attention(heads=heads, dim_head=64, dtype=jnp.float32)
+        params = attn.init(jax.random.PRNGKey(1), x, pre_ln=(lns, lnb),
+                           residual_add=True)
+        out_ref = attn.apply(params, x, pre_ln=(lns, lnb), residual_add=True)
+
+        orig = v5.fused_ln_attention_out
+        calls = []
+
+        def spy(*args, **kw):
+            calls.append(args[0].shape)
+            kw["interpret"] = True
+            return orig(*args, **kw)
+
+        monkeypatch.setattr(v5, "fused_ln_attention_out", spy)
+        set_flash_attention(True)
+        try:
+            out_v5 = attn.apply(params, x, pre_ln=(lns, lnb),
+                                residual_add=True)
+        finally:
+            set_flash_attention(False)
+        assert calls, "v5 path was not taken"
+        assert calls[0] == (b, s, c)
+        np.testing.assert_allclose(np.asarray(out_v5), np.asarray(out_ref),
+                                   atol=3e-4, rtol=3e-4)

@@ -494,7 +494,32 @@ class Attention(nn.Module):
                 bsz * seq, cdim, inner, out_features,
                 encoder_hidden_states.shape[1], rpg, residual_add)
 
-        if pre_ln is not None and not fused_spatial_ok and not fused_cross_ok:
+        # Spatial self-attention v5 (tvi/ops/pallas_attention_v5.py): the
+        # whole sublayer (LN + QKV projections + flash + out-proj +
+        # residual) as ONE kernel — on a single-core chip the LN pass and
+        # the fused QKV projection pass are core-occupying XLA ops that
+        # async DMA cannot hide (~10 ms/layer at level 0, PERF.md
+        # input-streaming law); v5 computes KV into a VMEM scratch at
+        # q-block 0 of each batch (sequential grid) and LN+Q per block.
+        fused_v5_ok = False
+        if (encoder_hidden_states is None and bias is None and not want_stats
+                and not self.residual_connection and residual_add
+                and self.norm_num_groups is None and pre_ln is not None
+                and not self.qkv_bias and not serve_int8()
+                and hidden_states.ndim == 3 and hidden_states.shape[1] > 64
+                and self.dim_head == 64 and _flash_enabled()
+                and out_features == residual.shape[-1]
+                and not os.environ.get("TVI_DISABLE_ATTN_OUT")
+                and not os.environ.get("TVI_DISABLE_ATTN_V5")
+                and _default_attn_shift() == "bound_unguarded"):
+            from tvi.ops.pallas_attention_v5 import ln_attention_out_eligible
+
+            fused_v5_ok = ln_attention_out_eligible(
+                hidden_states.shape[0], hidden_states.shape[1],
+                hidden_states.shape[2], inner, out_features, self.heads)
+
+        if (pre_ln is not None and not fused_spatial_ok and not fused_cross_ok
+                and not fused_v5_ok):
             # the caller's LayerNorm (norm1/norm2) — applied functionally
             # here; the fused paths fold it into the kernels instead
             hidden_states = layer_norm(hidden_states, pre_ln[0], pre_ln[1])
@@ -522,6 +547,15 @@ class Attention(nn.Module):
             cast, (wq, bq, wk, bk, wv, bv, wo, bo))
         hidden_states = hidden_states.astype(self.dtype)
         context = context.astype(self.dtype)
+
+        if fused_v5_ok:
+            from tvi.ops.pallas_attention_v5 import fused_ln_attention_out
+
+            wkv_cat = jnp.concatenate([wk, wv], axis=1)
+            return fused_ln_attention_out(
+                hidden_states, pre_ln[0], pre_ln[1], wq, wkv_cat, wo, bo,
+                heads=self.heads, scale=self.dim_head ** -0.5, eps=1e-5,
+                residual=True)
 
         if fused_cross_ok:
             from tvi.ops.pallas_fused_cross import (

@@ -236,11 +236,14 @@ def fused_temporal_self_attention(x: jax.Array, wq: jax.Array, wk: jax.Array,
 
     if not group:
         group = int(os.environ.get("TVI_TEMPORAL_GROUP") or 0) or GROUP
-    # flat-F path: default wherever the padded collapse would waste frames
-    # (F % 16 != 0); TVI_TEMPORAL_FLAT=0/1 forces it off/on for A/B.
+    # flat-F path (TVI_TEMPORAL_FLAT=1, opt-in): removes the 28% frame-pad
+    # M-traffic at F=25 and WINS the standalone unet_fwd A/B (-51 ms) but
+    # LOSES the full denoise-pipeline bench (+75 ms/step: 1.863 vs 1.787)
+    # — the larger whole-pixel blocks crowd the bigger program's schedule.
+    # The decision-grade metric is the pipeline (PERF.md in-context rule).
     flat_env = os.environ.get("TVI_TEMPORAL_FLAT", "")
     f = x.shape[1]
-    use_flat = (f % _SUBLANE != 0) if not flat_env else flat_env == "1"
+    use_flat = flat_env == "1"
     if use_flat and x.shape[0] >= _pick_flat_pixels(f, x.shape[2],
                                                     wo.shape[-1]):
         fused = functools.partial(_flat_temporal_fwd, heads=heads,
