@@ -492,6 +492,7 @@ class TestLnAttentionOutV5:
     @pytest.mark.parametrize("b,s,c,heads,residual", [
         (2, 512, 128, 2, True),      # level-like small shape
         (1, 1024, 320, 5, True),     # level-0-like channel count
+        (2, 576, 256, 2, True),      # S not 128-aligned (level-1280-like)
         (2, 512, 128, 2, False),
     ])
     def test_matches_unfused(self, rng, b, s, c, heads, residual):
@@ -516,7 +517,8 @@ class TestLnAttentionOutV5:
 
         got = fused_ln_attention_out(x, lns, lnb, wq, wkv, wo, bo,
                                      heads=heads, scale=scale,
-                                     residual=residual, block_q=128,
+                                     residual=residual,
+                                     block_q=128 if s % 128 == 0 else 0,
                                      interpret=True)
         xn = layer_norm(x, lns, lnb)
         want = attention_out_reference(xn @ wq, xn @ wkv[:, :inner],
@@ -553,8 +555,8 @@ class TestLnAttentionOutV5:
         from tvi.ops.pallas_attention_v5 import ln_attention_out_eligible
         assert ln_attention_out_eligible(50, 9216, 320, 320, 320, 5)
         assert ln_attention_out_eligible(50, 2304, 640, 640, 640, 10)
-        # 1280 level: S=576 is not 128-aligned -> falls back to v4
-        assert not ln_attention_out_eligible(50, 576, 1280, 1280, 1280, 20)
+        # 1280 level: S=576 handled via in-kernel K/V padding + col mask
+        assert ln_attention_out_eligible(50, 576, 1280, 1280, 1280, 20)
         assert not ln_attention_out_eligible(50, 9216, 320, 320, 320, 4)
 
     def test_dispatch_through_attention_module(self, rng, monkeypatch):

@@ -13,7 +13,9 @@ shape.  v5 moves both inside the attention kernel:
     per-batch (S, C) input block is resident in VMEM (constant index map).
   - at q-block 0 of each batch the kernel computes LN(x) @ Wkv into a VMEM
     scratch that PERSISTS across the batch's remaining q-blocks, plus the
-    per-head max ||k|| row the bound shift needs.
+    per-head max ||k|| row the bound shift needs.  When S is not 128-lane
+    aligned (the 1280 level's S=576) the scratch is padded and the padded
+    key columns masked out of the softmax.
   - every q-block recomputes LN on its own rows (VPU-cheap) and projects Q
     in-kernel; attention + out-projection + bias + residual run exactly as
     in v4 (same backed-off Cauchy-Schwarz shift, see pallas_attention.py).
@@ -65,6 +67,7 @@ def _v5_kernel(x_ref, xq_ref, lns_ref, lnb_ref, wq_ref, wkv_ref, wo_ref,
     inner = wq_ref.shape[-1]
     d = inner // heads
     s = x_ref.shape[1]
+    s_pad = kv_ref.shape[0]          # S padded to 128 lanes for the logits
     lns = lns_ref[:].astype(jnp.float32)
     lnb = lnb_ref[:].astype(jnp.float32)
     cst = scale * LOG2E
@@ -73,6 +76,8 @@ def _v5_kernel(x_ref, xq_ref, lns_ref, lnb_ref, wq_ref, wkv_ref, wo_ref,
     def _project_kv():
         # LN(x) @ Wkv into the persistent scratch, chunked so the fp32 LN
         # temporaries stay ~4 MB; per-head max ||k|| tracked across chunks.
+        if s_pad != s:
+            kv_ref[s:, :] = jnp.zeros((s_pad - s, 2 * inner), kv_ref.dtype)
         kmax = [jnp.float32(0.0)] * heads
         for ci in range(s // kv_chunk):
             rows = slice(ci * kv_chunk, (ci + 1) * kv_chunk)
@@ -113,8 +118,11 @@ def _v5_kernel(x_ref, xq_ref, lns_ref, lnb_ref, wq_ref, wkv_ref, wo_ref,
         logits = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT) * cst      # (BQ, S) log2
+            precision=jax.lax.Precision.DEFAULT) * cst      # (BQ, S_pad) log2
         p = jnp.exp2(logits - shift)
+        if s_pad != s:
+            col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+            p = jnp.where(col < s, p, 0.0)
         l = jnp.sum(p, axis=-1, keepdims=True)
         oh = jax.lax.dot_general(
             p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
@@ -185,6 +193,7 @@ def _fused_ln_attention_out_fwd(x: jax.Array, lns: jax.Array, lnb: jax.Array,
     if not block_q:
         block_q = _pick_block_q(s)
     kv_chunk = _pick_kv_chunk(s, c)
+    s_pad = s + (-s) % 128           # K/V rows padded for the logits lanes
     grid = (b, s // block_q)
     kernel = functools.partial(_v5_kernel, heads=heads, scale=scale, eps=eps,
                                residual=residual, kv_chunk=kv_chunk)
@@ -214,7 +223,7 @@ def _fused_ln_attention_out_fwd(x: jax.Array, lns: jax.Array, lnb: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, c_out), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((s, 2 * inner), x.dtype),            # K | V
+            pltpu.VMEM((s_pad, 2 * inner), x.dtype),        # K | V (padded)
             pltpu.VMEM((1, 128), jnp.float32),              # max ||k|| / head
         ],
         compiler_params=pltpu.CompilerParams(
@@ -240,16 +249,17 @@ def ln_attention_out_eligible(b: int, s: int, c: int, inner: int, c_out: int,
     fp32 logits fit VMEM."""
     if inner % heads or (inner // heads) != 64:
         return False
-    if c % 8 or c_out % 8:
+    if c % 8 or c_out % 8 or s % 8:
         return False
     bq = _pick_block_q(s)
-    if not bq or bq % 128 or s % 128 or s < 2 * bq:
+    if not bq or bq < 64 or s < 2 * bq:
         return False
     if not _pick_kv_chunk(s, c):
         return False
+    s_pad = s + (-s) % 128
     vmem = (2 * s * c * 2              # resident x + prefetch double buffer
-            + s * 2 * inner * 2        # KV scratch
-            + 2 * bq * s * 4           # logits + p (fp32)
+            + s_pad * 2 * inner * 2    # KV scratch (padded)
+            + 2 * bq * s_pad * 4       # logits + p (fp32)
             + 3 * bq * c * 4           # LN temps on the q block
             + (3 * c * inner + inner * c_out) * 2)  # weights
     return vmem < 80 * 1024 * 1024
