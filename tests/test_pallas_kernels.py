@@ -596,3 +596,91 @@ class TestLnAttentionOutV5:
         assert calls[0] == (b, s, c)
         np.testing.assert_allclose(np.asarray(out_v5), np.asarray(out_ref),
                                    atol=3e-4, rtol=3e-4)
+
+    def test_in_proj_variant(self, rng):
+        """proj_in absorbed into the kernel (xp scratch) vs the XLA
+        composition proj -> LN -> attention -> out + xp residual."""
+        from tvi.models.layers import layer_norm
+        from tvi.ops.pallas_attention_out import attention_out_reference
+        from tvi.ops.pallas_attention_v5 import fused_ln_attention_out
+        b, s, c_in, c, heads = 2, 512, 192, 128, 2
+        inner = heads * 64
+        ks = jax.random.split(rng, 7)
+        x = jax.random.normal(ks[0], (b, s, c_in))
+        w_in = jax.random.normal(ks[1], (c_in, c)) * c_in ** -0.5
+        b_in = jax.random.normal(ks[2], (c,)) * 0.1
+        lns = jax.random.normal(ks[3], (c,)) * 0.2 + 1.0
+        lnb = jnp.zeros((c,))
+        wq = jax.random.normal(ks[4], (c, inner)) * c ** -0.5
+        wkv = jax.random.normal(ks[5], (c, 2 * inner)) * c ** -0.5
+        wo = jax.random.normal(ks[6], (inner, c)) * inner ** -0.5
+        bo = jnp.zeros((c,))
+        scale = 64 ** -0.5
+
+        got = fused_ln_attention_out(x, lns, lnb, wq, wkv, wo, bo, w_in, b_in,
+                                     heads=heads, scale=scale, block_q=128,
+                                     interpret=True)
+        xp = x @ w_in + b_in
+        xn = layer_norm(xp, lns, lnb)
+        want = attention_out_reference(xn @ wq, xn @ wkv[:, :inner],
+                                       xn @ wkv[:, inner:], xp, wo, bo,
+                                       heads=heads, scale=scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-4, rtol=3e-4)
+
+    def test_proj_in_dispatch_through_transformer(self, rng, monkeypatch):
+        """TransformerSpatioTemporalModel hands proj_in's weights to the
+        first block; forced-flash v5 (interpret) must match the XLA path."""
+        import tvi.ops.pallas_attention_v5 as v5
+        from tvi.models.transformer_temporal import (
+            TransformerSpatioTemporalModel,
+        )
+
+        monkeypatch.setenv("TVI_ATTN_SHIFT", "bound_unguarded")
+        # only the v5 kernel is monkeypatched to interpret mode: keep the
+        # other fused kernels (temporal sublayer, cross, whole-FF/GEGLU)
+        # on their XLA fallbacks for this CPU test
+        monkeypatch.setenv("TVI_DISABLE_FUSED_TEMPORAL", "1")
+        monkeypatch.setenv("TVI_DISABLE_FUSED_CROSS", "1")
+        monkeypatch.setenv("TVI_DISABLE_FUSED_GEGLU", "1")
+        monkeypatch.setenv("TVI_FUSED_FF", "0")
+        monkeypatch.setenv("TVI_DISABLE_ATTN_PACKED", "1")
+        heads, dim_head, c = 2, 64, 128
+        b, f, h, w = 1, 2, 16, 32     # S = 512 (>= 2 q-blocks)
+        m = TransformerSpatioTemporalModel(heads=heads, dim_head=dim_head,
+                                           dtype=jnp.float32)
+        x = jax.random.normal(rng, (b * f, h, w, c))
+        ctx = (jnp.ones((b, 2, 32)), jnp.ones((b, 1, 32)))
+        params = m.init(jax.random.PRNGKey(1), x, f, ctx)
+        out_ref = m.apply(params, x, f, ctx)
+
+        orig = v5.fused_ln_attention_out
+        calls = []
+
+        def spy(*args, **kw):
+            calls.append(args[7] is not None)   # w_in operand present?
+            kw["interpret"] = True
+            return orig(*args, **kw)
+
+        monkeypatch.setattr(v5, "fused_ln_attention_out", spy)
+        # attn2's unfused fallback also reaches a flash kernel: interpret it
+        import tvi.ops.pallas_attention as pa
+
+        orig_flash = pa.flash_self_attention
+        monkeypatch.setattr(
+            pa, "flash_self_attention",
+            lambda *a, **kw: orig_flash(*a, **{**kw, "interpret": True}))
+        import tvi.ops.pallas_temporal_attention as pta
+
+        orig_rows = pta.temporal_rows_attention
+        monkeypatch.setattr(
+            pta, "temporal_rows_attention",
+            lambda *a, **kw: orig_rows(*a, **{**kw, "interpret": True}))
+        set_flash_attention(True)
+        try:
+            out_v5 = m.apply(params, x, f, ctx)
+        finally:
+            set_flash_attention(False)
+        assert calls and calls[0], "v5 in_proj path was not taken"
+        np.testing.assert_allclose(np.asarray(out_v5), np.asarray(out_ref),
+                                   atol=2e-3, rtol=2e-3)

@@ -430,6 +430,7 @@ class Attention(nn.Module):
         want_stats: bool = False,
         pre_ln: Optional[Tuple[jax.Array, jax.Array]] = None,
         residual_add: bool = False,
+        in_proj: Optional[Tuple[jax.Array, jax.Array]] = None,
     ):
         import os
 
@@ -464,7 +465,8 @@ class Attention(nn.Module):
                 hidden_states.shape[2], self.heads, inner_, self.qkv_bias))
 
         inner = self.heads * self.dim_head
-        out_features = self.out_dim or residual.shape[-1]
+        out_features = self.out_dim or (
+            in_proj[0].shape[-1] if in_proj is not None else residual.shape[-1])
 
         # Small-context cross-attention (attn2: 3 CLIP/projector tokens
         # spatially, 2 first-frame tokens temporally): the q/out
@@ -514,9 +516,23 @@ class Attention(nn.Module):
                 and _default_attn_shift() == "bound_unguarded"):
             from tvi.ops.pallas_attention_v5 import ln_attention_out_eligible
 
+            c_blk = (in_proj[0].shape[-1] if in_proj is not None
+                     else hidden_states.shape[2])
             fused_v5_ok = ln_attention_out_eligible(
-                hidden_states.shape[0], hidden_states.shape[1],
-                hidden_states.shape[2], inner, out_features, self.heads)
+                hidden_states.shape[0], hidden_states.shape[1], c_blk,
+                inner, out_features, self.heads,
+                c_in=hidden_states.shape[2] if in_proj is not None else 0)
+
+        if in_proj is not None and not fused_v5_ok:
+            # the caller's proj_in (TransformerSpatioTemporalModel) —
+            # applied functionally when the v5 kernel can't absorb it;
+            # identical math to the MaybeQuantDense apply it replaces
+            w_in, b_in = in_proj
+            hidden_states = (hidden_states.astype(self.dtype)
+                             @ w_in.astype(self.dtype)
+                             + b_in.astype(self.dtype))
+            residual = hidden_states
+            in_proj = None
 
         if (pre_ln is not None and not fused_spatial_ok and not fused_cross_ok
                 and not fused_v5_ok):
@@ -535,12 +551,18 @@ class Attention(nn.Module):
                 axis=0)
 
         context = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+        # with a fused (not-yet-applied) in_proj the q/k/v input features
+        # are the projection's output dim, not the raw hidden dim
+        qkv_in = (in_proj[0].shape[-1] if in_proj is not None
+                  else hidden_states.shape[-1])
         dp = lambda n, i, o, use_b: _DenseParams(
             features=o, in_features=i, use_bias=use_b,
             param_dtype=self.param_dtype, name=n)()
-        wq, bq = dp("to_q", hidden_states.shape[-1], inner, self.qkv_bias)
-        wk, bk = dp("to_k", context.shape[-1], inner, self.qkv_bias)
-        wv, bv = dp("to_v", context.shape[-1], inner, self.qkv_bias)
+        wq, bq = dp("to_q", qkv_in, inner, self.qkv_bias)
+        wk, bk = dp("to_k", qkv_in if encoder_hidden_states is None
+                    else context.shape[-1], inner, self.qkv_bias)
+        wv, bv = dp("to_v", qkv_in if encoder_hidden_states is None
+                    else context.shape[-1], inner, self.qkv_bias)
         wo, bo = dp("to_out", inner, out_features, True)
         cast = lambda t: None if t is None else t.astype(self.dtype)
         wq, bq, wk, bk, wv, bv, wo, bo = map(
@@ -552,8 +574,13 @@ class Attention(nn.Module):
             from tvi.ops.pallas_attention_v5 import fused_ln_attention_out
 
             wkv_cat = jnp.concatenate([wk, wv], axis=1)
+            w_in = b_in = None
+            if in_proj is not None:
+                w_in = in_proj[0].astype(self.dtype)
+                b_in = in_proj[1].astype(self.dtype)
             return fused_ln_attention_out(
                 hidden_states, pre_ln[0], pre_ln[1], wq, wkv_cat, wo, bo,
+                w_in, b_in,
                 heads=self.heads, scale=self.dim_head ** -0.5, eps=1e-5,
                 residual=True)
 

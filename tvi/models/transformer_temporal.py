@@ -35,6 +35,7 @@ from tvi.models.layers import (
     TimestepEmbedding,
     get_timestep_embedding,
     gn_groups,
+    serve_int8,
 )
 from tvi.ops.attention import temporal_bias_mask
 from tvi.utils.ablate import ablated
@@ -51,11 +52,19 @@ class BasicTransformerBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states, encoder_hidden_states=None):
+    def __call__(self, hidden_states, encoder_hidden_states=None,
+                 in_proj=None):
         ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                     param_dtype=self.param_dtype, name=n)
         attn = lambda n: Attention(heads=self.heads, dim_head=self.dim_head,
                                    dtype=self.dtype, param_dtype=self.param_dtype, name=n)
+        if in_proj is not None and ablated("spatial_attn"):
+            # attn1 normally absorbs the caller's proj_in; under the
+            # ablation knob apply it functionally so shapes stay correct
+            hidden_states = (hidden_states.astype(self.dtype)
+                             @ in_proj[0].astype(self.dtype)
+                             + in_proj[1].astype(self.dtype))
+            in_proj = None
         if not ablated("spatial_attn"):
             # norm1 is passed as raw params so the TPU path can fold the
             # LayerNorm into the fused LN+QKV+flash kernels
@@ -63,14 +72,17 @@ class BasicTransformerBlock(nn.Module):
             # functionally with identical numerics.  Param tree unchanged.
             from tvi.models.layers import LayerNormParams
 
-            norm1 = LayerNormParams(features=hidden_states.shape[-1],
+            c_blk = (in_proj[0].shape[-1] if in_proj is not None
+                     else hidden_states.shape[-1])
+            norm1 = LayerNormParams(features=c_blk,
                                     param_dtype=self.param_dtype,
                                     name="norm1")()
             # residual folded into the attention (the TPU v4 kernel fuses
             # out-projection + residual into its epilogue; the fallback
             # adds it functionally — identical math)
             hidden_states = attn("attn1")(
-                hidden_states, pre_ln=norm1, residual_add=True)
+                hidden_states, pre_ln=norm1, residual_add=True,
+                in_proj=in_proj)
             if self.cross_attention:
                 # norm2 + attn2 + residual fold into the fused small-context
                 # cross kernel on TPU (tvi/ops/pallas_fused_cross.py)
@@ -215,9 +227,19 @@ class TransformerSpatioTemporalModel(nn.Module):
         from tvi.models.layers import MaybeQuantDense
 
         hidden_states = hidden_states.reshape(bf, height * width, channels)
-        hidden_states = MaybeQuantDense(inner_dim, dtype=self.dtype,
-                                        param_dtype=self.param_dtype,
-                                        name="proj_in")(hidden_states)
+        proj_in = MaybeQuantDense(inner_dim, dtype=self.dtype,
+                                  param_dtype=self.param_dtype,
+                                  name="proj_in")
+        if serve_int8():
+            hidden_states = proj_in(hidden_states)
+            in_proj = None
+        else:
+            # hand proj_in's raw weights to the first spatial block: the
+            # TPU v5 kernel absorbs the projection (one in-kernel dot into
+            # the xp scratch instead of a standalone M-pass over HBM);
+            # ineligible shapes / CPU apply it functionally inside
+            # Attention — identical math, identical param tree.
+            in_proj = proj_in(hidden_states, return_params=True)
 
         # frame-position embedding (transformer_temporal.py:309-316)
         frame_ids = jnp.tile(jnp.arange(num_frames), batch_size)
@@ -239,7 +261,7 @@ class TransformerSpatioTemporalModel(nn.Module):
                 heads=self.heads, dim_head=self.dim_head,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"transformer_blocks_{layer}",
-            )(hidden_states, s_ctx)
+            )(hidden_states, s_ctx, in_proj=in_proj if layer == 0 else None)
 
             # spatial -> temporal layout: (B*F, S, C) -> (B*S, F, C)
             mix = hidden_states + emb
