@@ -113,7 +113,8 @@ def test_fused_temporal_grad():
     wo, bo = _rand(keys[4], inner, c), _rand(keys[5], c)
     wrapped = functools.partial(fused_temporal_self_attention, heads=2,
                                 scale=0.125, block_r=8, interpret=True)
-    ref = functools.partial(fused_temporal_reference, heads=2, scale=0.125)
+    ref = lambda x, wq, wk, wv, wo, bo: fused_temporal_reference(
+        x, None, None, wq, wk, wv, wo, bo, heads=2, scale=0.125)
     _grad_check(wrapped, ref, (x, wq, wk, wv, wo, bo))
 
 

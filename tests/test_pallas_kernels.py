@@ -260,6 +260,38 @@ class TestFusedTemporalSelfAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                    atol=2e-4, rtol=2e-4)
 
+
+    @pytest.mark.parametrize("flat", [False, True])
+    def test_ln_residual_folded(self, rng, flat, monkeypatch):
+        """norm1 + residual folded in-kernel (TemporalBasicTransformerBlock
+        attn1) vs the functional composition, both padded-F and flat-F."""
+        from tvi.models.layers import layer_norm
+        from tvi.ops.pallas_fused_temporal import (
+            fused_temporal_reference,
+            fused_temporal_self_attention,
+        )
+        if flat:
+            monkeypatch.setenv("TVI_TEMPORAL_FLAT", "1")
+        r, f, c, heads = 512, 10, 64, 1
+        ks = jax.random.split(rng, 7)
+        x = jax.random.normal(ks[0], (r, f, c))
+        lns = jax.random.normal(ks[1], (c,)) * 0.2 + 1.0
+        lnb = jax.random.normal(ks[2], (c,)) * 0.2
+        wq = jax.random.normal(ks[3], (c, c)) * c ** -0.5
+        wk = jax.random.normal(ks[4], (c, c)) * c ** -0.5
+        wv = jax.random.normal(ks[5], (c, c)) * c ** -0.5
+        wo = jax.random.normal(ks[6], (c, c)) * c ** -0.5
+        bo = jnp.zeros((c,))
+        scale = (c // heads) ** -0.5
+        got = fused_temporal_self_attention(
+            x, wq, wk, wv, wo, bo, heads=heads, scale=scale,
+            lns=lns, lnb=lnb, residual=True, block_r=128, interpret=True)
+        xn = layer_norm(x, lns, lnb)
+        want = fused_temporal_reference(xn, None, None, wq, wk, wv, wo, bo,
+                                        heads=heads, scale=scale) + x
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-4, rtol=3e-4)
+
     def test_attention_module_param_tree_unchanged(self, rng):
         """The _DenseParams refactor must keep the exact nn.Dense param tree
         (to_q/kernel etc.) AND the same init values (same RNG paths)."""

@@ -523,6 +523,21 @@ class Attention(nn.Module):
                 inner, out_features, self.heads,
                 c_in=hidden_states.shape[2] if in_proj is not None else 0)
 
+        # frame-axis (tiny middle dim) self-attention with the caller's
+        # norm1 + residual folded into the fused temporal kernel — kills
+        # the XLA LN pass and the residual pass around the kernel
+        fused_temporal_ln_ok = (
+            encoder_hidden_states is None and bias is None and not want_stats
+            and not self.residual_connection and residual_add
+            and self.norm_num_groups is None and pre_ln is not None
+            and in_proj is None and not serve_int8()
+            and hidden_states.ndim == 3 and hidden_states.shape[1] <= 64
+            and _flash_enabled()
+            and not os.environ.get("TVI_DISABLE_FUSED_TEMPORAL")
+            and fused_temporal_eligible(
+                hidden_states.shape[0], hidden_states.shape[1],
+                hidden_states.shape[2], inner, out_features, self.qkv_bias))
+
         if in_proj is not None and not fused_v5_ok:
             # the caller's proj_in (TransformerSpatioTemporalModel) —
             # applied functionally when the v5 kernel can't absorb it;
@@ -535,7 +550,7 @@ class Attention(nn.Module):
             in_proj = None
 
         if (pre_ln is not None and not fused_spatial_ok and not fused_cross_ok
-                and not fused_v5_ok):
+                and not fused_v5_ok and not fused_temporal_ln_ok):
             # the caller's LayerNorm (norm1/norm2) — applied functionally
             # here; the fused paths fold it into the kernels instead
             hidden_states = layer_norm(hidden_states, pre_ln[0], pre_ln[1])
@@ -605,9 +620,10 @@ class Attention(nn.Module):
 
         fused_ok = (
             encoder_hidden_states is None and bias is None and not want_stats
-            and not self.residual_connection and not residual_add
-            and self.norm_num_groups is None
-            and pre_ln is None and not serve_int8()
+            and not self.residual_connection
+            and (fused_temporal_ln_ok or (not residual_add
+                                          and pre_ln is None))
+            and self.norm_num_groups is None and not serve_int8()
             and hidden_states.ndim == 3 and hidden_states.shape[1] <= 64
             and _flash_enabled()
             and not os.environ.get("TVI_DISABLE_FUSED_TEMPORAL")
@@ -615,9 +631,11 @@ class Attention(nn.Module):
                 hidden_states.shape[0], hidden_states.shape[1],
                 hidden_states.shape[2], inner, out_features, self.qkv_bias))
         if fused_ok:
+            lns, lnb = pre_ln if fused_temporal_ln_ok else (None, None)
             return fused_temporal_self_attention(
                 hidden_states, wq, wk, wv, wo, bo,
-                heads=self.heads, scale=self.dim_head ** -0.5)
+                heads=self.heads, scale=self.dim_head ** -0.5,
+                lns=lns, lnb=lnb, residual=fused_temporal_ln_ok)
 
         if fused_spatial_ok:
             # LN + QKV + flash fused; out-projection contracts the

@@ -145,11 +145,17 @@ class TemporalBasicTransformerBlock(nn.Module):
                                    dtype=self.dtype, param_dtype=self.param_dtype, name=n)
         if not (ablated("temporal_attn") or ablated("temporal_self")):
             # Frame self-attention runs per pixel row with tiny F (14-40):
-            # on TPU the attention op dispatches this to the dedicated
-            # rows kernel (tvi/ops/pallas_temporal_attention.py), which
-            # keeps the per-row (F, F) logits in VMEM instead of
-            # materializing ~GBs of fp32 logits in HBM.
-            hidden_states = attn("attn1")(ln("norm1")(hidden_states)) + hidden_states
+            # on TPU the attention op dispatches this to the fused temporal
+            # kernel (tvi/ops/pallas_fused_temporal.py) with norm1 and the
+            # residual folded in-kernel (kills two XLA M-passes); the
+            # fallback applies them functionally — identical math.
+            from tvi.models.layers import LayerNormParams
+
+            norm1 = LayerNormParams(features=hidden_states.shape[-1],
+                                    param_dtype=self.param_dtype,
+                                    name="norm1")()
+            hidden_states = attn("attn1")(
+                hidden_states, pre_ln=norm1, residual_add=True)
 
         stats = None
         if self.cross_attention and not (ablated("temporal_attn") or ablated("temporal_cross")):

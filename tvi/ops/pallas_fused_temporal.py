@@ -77,8 +77,8 @@ def _vmem_bytes(block_r: int, f: int, c: int, c_out: int,
     return 2 * tile + qkv + acc + out + weights + logits
 
 
-def _fused_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *,
-                  heads: int, scale: float, f_valid: int, group: int):
+def _fused_kernel(x_ref, *refs, heads: int, scale: float, f_valid: int,
+                  group: int, with_ln: bool, residual: bool):
     """Grouped frame attention: a per-row (Fp, d) x (d, Fp) logits dot is a
     32x32 output with K=64 — 1/16th of the MXU, and Mosaic serializes the
     BR-batched form into thousands of such dots (measured 36 TF/s for the
@@ -86,19 +86,36 @@ def _fused_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *,
     (G*Fp, d) x (d, G*Fp) MXU-shaped dot and a block-diagonal mask kills
     the cross-row products.  G=8 wastes 8x the attention-core FLOPs (~5% of
     the kernel's total) to run them at MXU rate instead of 1/16th rate."""
+    if with_ln:
+        (lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
+         o_ref) = refs
+    else:
+        wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref = refs
     x = x_ref[:]                                   # (BR, Fp, C)
     br, fp, c = x.shape
     wq, wk, wv, wo = wq_ref[:], wk_ref[:], wv_ref[:], wo_ref[:]
 
     x2 = x.reshape(br * fp, c)                     # sublane-aligned collapse
+    if with_ln:
+        # norm1 folded in: q/k/v project the normalized rows, the residual
+        # epilogue adds the raw ones (TemporalBasicTransformerBlock attn1)
+        xf = x2.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) \
+            - jnp.square(mean)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)
+              * lns_ref[:].astype(jnp.float32)
+              + lnb_ref[:].astype(jnp.float32)).astype(x.dtype)
+    else:
+        xn = x2
     mm2 = functools.partial(jax.lax.dot_general,
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.DEFAULT)
     inner = wq.shape[-1]
-    q = mm2(x2, wq).astype(x.dtype)                # (BR*Fp, inner)
-    k = mm2(x2, wk).astype(x.dtype)
-    v = mm2(x2, wv).astype(x.dtype)
+    q = mm2(xn, wq).astype(x.dtype)                # (BR*Fp, inner)
+    k = mm2(xn, wk).astype(x.dtype)
+    v = mm2(xn, wv).astype(x.dtype)
 
     d = inner // heads
     g = group
@@ -132,11 +149,13 @@ def _fused_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *,
         acc = contrib if acc is None else acc + contrib
 
     acc = acc + bo_ref[:].astype(jnp.float32)[None, :]
+    if residual:
+        acc = acc + x2.astype(jnp.float32)
     o_ref[:] = acc.reshape(br, fp, wo.shape[-1]).astype(o_ref.dtype)
 
 
-def _flat_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *,
-                 heads: int, scale: float, f: int):
+def _flat_kernel(x_ref, *refs, heads: int, scale: float, f: int,
+                 with_ln: bool, residual: bool):
     """Flat-F variant: the block is P whole pixels x F frames = (BM, C)
     rows with NO frame padding (the collapsed (BR,F,C)->(BR*F,C) reshape
     of _fused_kernel needs F % 16; flat blocks only need BM % 8, so F=25
@@ -144,18 +163,33 @@ def _flat_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *,
     head runs ONE (BM, d) x (d, BM) logits dot; an F-block-diagonal mask
     kills cross-pixel products; the out-projection is one full-K dot on
     the lane-concat of head outputs."""
+    if with_ln:
+        (lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
+         o_ref) = refs
+    else:
+        wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref = refs
     x2 = x_ref[:]                                   # (BM, C)
     bm = x2.shape[0]
     wq, wk, wv, wo = wq_ref[:], wk_ref[:], wv_ref[:], wo_ref[:]
+    if with_ln:
+        xf = x2.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) \
+            - jnp.square(mean)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)
+              * lns_ref[:].astype(jnp.float32)
+              + lnb_ref[:].astype(jnp.float32)).astype(x2.dtype)
+    else:
+        xn = x2
     mm2 = functools.partial(jax.lax.dot_general,
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.DEFAULT)
     inner = wq.shape[-1]
     d = inner // heads
-    q = mm2(x2, wq).astype(x2.dtype)                # (BM, inner)
-    k = mm2(x2, wk).astype(x2.dtype)
-    v = mm2(x2, wv).astype(x2.dtype)
+    q = mm2(xn, wq).astype(x2.dtype)                # (BM, inner)
+    k = mm2(xn, wk).astype(x2.dtype)
+    v = mm2(xn, wv).astype(x2.dtype)
     # grouped batching: 8 pixels share one (8F, d) x (d, 8F) dot — 8F is a
     # sublane multiple for any F, and the masked-FLOP waste stays 8x the
     # tiny attention core (a whole-block BMxBM dot would waste P x)
@@ -185,6 +219,8 @@ def _flat_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *,
         ohs.append(oh.reshape(bm, d).astype(x2.dtype))
     o_cat = ohs[0] if heads == 1 else jnp.concatenate(ohs, axis=1)
     acc = mm2(o_cat, wo) + bo_ref[:].astype(jnp.float32)
+    if residual:
+        acc = acc + x2.astype(jnp.float32)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -197,14 +233,20 @@ def _pick_flat_pixels(f: int, c: int, c_out: int) -> int:
     return p
 
 
-def fused_temporal_reference(x: jax.Array, wq: jax.Array, wk: jax.Array,
-                             wv: jax.Array, wo: jax.Array, bo: jax.Array,
-                             heads: int, scale: float) -> jax.Array:
-    """Pure-XLA math of _fused_kernel: QKV projection, per-head frame
-    attention, out-projection.  Backward path + parity oracle."""
+def fused_temporal_reference(x: jax.Array, lns, lnb, wq: jax.Array,
+                             wk: jax.Array, wv: jax.Array, wo: jax.Array,
+                             bo: jax.Array, heads: int, scale: float,
+                             residual: bool = False) -> jax.Array:
+    """Pure-XLA math of _fused_kernel: [LN +] QKV projection, per-head frame
+    attention, out-projection [+ residual].  Backward path + parity oracle."""
     r, f, c = x.shape
     inner = wq.shape[-1]
     d = inner // heads
+    x_res = x
+    if lns is not None:
+        from tvi.models.layers import layer_norm
+
+        x = layer_norm(x, lns, lnb)
     x2 = x.reshape(r * f, c)
     proj = lambda w: jnp.dot(x2, w, preferred_element_type=jnp.float32) \
         .astype(x.dtype).reshape(r, f, heads, d)
@@ -218,12 +260,16 @@ def fused_temporal_reference(x: jax.Array, wq: jax.Array, wk: jax.Array,
     out = jnp.dot(o.reshape(r * f, inner), wo,
                   preferred_element_type=jnp.float32)
     out = out + bo.astype(jnp.float32)
-    return out.reshape(r, f, wo.shape[-1]).astype(x.dtype)
+    out = out.reshape(r, f, wo.shape[-1])
+    if residual:
+        out = out + x_res.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def fused_temporal_self_attention(x: jax.Array, wq: jax.Array, wk: jax.Array,
                                   wv: jax.Array, wo: jax.Array, bo: jax.Array,
                                   heads: int, scale: float,
+                                  lns=None, lnb=None, residual: bool = False,
                                   block_r: int = 0, group: int = 0,
                                   interpret: bool = False) -> jax.Array:
     """Differentiable wrapper: Pallas forward, reference-XLA backward.
@@ -247,26 +293,31 @@ def fused_temporal_self_attention(x: jax.Array, wq: jax.Array, wk: jax.Array,
     if use_flat and x.shape[0] >= _pick_flat_pixels(f, x.shape[2],
                                                     wo.shape[-1]):
         fused = functools.partial(_flat_temporal_fwd, heads=heads,
-                                  scale=scale, interpret=interpret)
+                                  scale=scale, residual=residual,
+                                  interpret=interpret)
     else:
         fused = functools.partial(_fused_temporal_fwd, heads=heads,
-                                  scale=scale, block_r=block_r, group=group,
+                                  scale=scale, residual=residual,
+                                  block_r=block_r, group=group,
                                   interpret=interpret)
     ref = functools.partial(fused_temporal_reference, heads=heads,
-                            scale=scale)
-    return pallas_with_reference_vjp(fused, ref, x, wq, wk, wv, wo, bo)
+                            scale=scale, residual=residual)
+    return pallas_with_reference_vjp(fused, ref, x, lns, lnb, wq, wk, wv,
+                                     wo, bo)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
-def _flat_temporal_fwd(x: jax.Array, wq: jax.Array, wk: jax.Array,
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "residual",
+                                             "interpret"))
+def _flat_temporal_fwd(x: jax.Array, lns, lnb, wq: jax.Array, wk: jax.Array,
                        wv: jax.Array, wo: jax.Array, bo: jax.Array,
-                       heads: int, scale: float,
+                       heads: int, scale: float, residual: bool = False,
                        interpret: bool = False) -> jax.Array:
     """Flat-F dispatch: x (R, F, C) -> (R*F, C) with whole-pixel blocks
     (see _flat_kernel).  R is zero-padded to the per-program pixel count;
     padded pixels produce finite garbage sliced off here."""
     r, f, c = x.shape
     c_out = wo.shape[-1]
+    with_ln = lns is not None
     p = _pick_flat_pixels(f, c, c_out)
     pad_r = (-r) % p
     if pad_r:
@@ -277,12 +328,15 @@ def _flat_temporal_fwd(x: jax.Array, wq: jax.Array, wk: jax.Array,
     grid = (rp // p,)
     w_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
-    kernel = functools.partial(_flat_kernel, heads=heads, scale=scale, f=f)
+    kernel = functools.partial(_flat_kernel, heads=heads, scale=scale, f=f,
+                               with_ln=with_ln, residual=residual)
+    ln_ops = [lns.reshape(1, c), lnb.reshape(1, c)] if with_ln else []
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ] + [w_spec((1, c)) for _ in ln_ops] + [
             w_spec(wq.shape), w_spec(wk.shape), w_spec(wv.shape),
             w_spec(wo.shape), w_spec(bo.reshape(1, c_out).shape),
         ],
@@ -300,23 +354,24 @@ def _flat_temporal_fwd(x: jax.Array, wq: jax.Array, wk: jax.Array,
             transcendentals=rp * heads * f * bm,
         ),
         interpret=interpret,
-    )(x2, wq, wk, wv, wo, bo.reshape(1, c_out))
+    )(x2, *ln_ops, wq, wk, wv, wo, bo.reshape(1, c_out))
     return out[:r * f].reshape(r, f, c_out)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "block_r",
-                                             "group", "interpret"))
-def _fused_temporal_fwd(x: jax.Array, wq: jax.Array, wk: jax.Array,
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "residual",
+                                             "block_r", "group", "interpret"))
+def _fused_temporal_fwd(x: jax.Array, lns, lnb, wq: jax.Array, wk: jax.Array,
                         wv: jax.Array, wo: jax.Array, bo: jax.Array,
-                        heads: int, scale: float,
+                        heads: int, scale: float, residual: bool = False,
                         block_r: int = 0, group: int = GROUP,
                         interpret: bool = False) -> jax.Array:
     """x: (R, F, C); wq/wk/wv: (C, inner); wo: (inner, C_out); bo: (C_out,).
-    Returns to_out(attention(x@Wq, x@Wk, x@Wv)) of shape (R, F, C_out).
+    Returns to_out(attention([LN](x)@Wq, ...)) [+ x] of shape (R, F, C_out).
     Rows and frames are zero-padded to tile; padded keys are masked in the
     kernel, padded query rows/frames sliced off here."""
     r, f, c = x.shape
     c_out = wo.shape[-1]
+    with_ln = lns is not None
     if not block_r:
         block_r = _pick_block_r(f, c, c_out, group)
     while block_r % group:
@@ -332,13 +387,16 @@ def _fused_temporal_fwd(x: jax.Array, wq: jax.Array, wk: jax.Array,
     w_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     kernel = functools.partial(_fused_kernel, heads=heads, scale=scale,
-                               f_valid=f, group=group)
+                               f_valid=f, group=group, with_ln=with_ln,
+                               residual=residual)
+    ln_ops = [lns.reshape(1, c), lnb.reshape(1, c)] if with_ln else []
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_r, fp, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+        ] + [w_spec((1, c)) for _ in ln_ops] + [
             w_spec(wq.shape), w_spec(wk.shape), w_spec(wv.shape),
             w_spec(wo.shape), w_spec(bo.shape),
         ],
@@ -356,7 +414,7 @@ def _fused_temporal_fwd(x: jax.Array, wq: jax.Array, wk: jax.Array,
             transcendentals=rp * heads * fp * (group * fp),
         ),
         interpret=interpret,
-    )(x, wq, wk, wv, wo, bo)
+    )(x, *ln_ops, wq, wk, wv, wo, bo)
     return out[:r, :f]
 
 
