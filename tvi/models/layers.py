@@ -534,6 +534,7 @@ class Attention(nn.Module):
             and hidden_states.ndim == 3 and hidden_states.shape[1] <= 64
             and _flash_enabled()
             and not os.environ.get("TVI_DISABLE_FUSED_TEMPORAL")
+            and not os.environ.get("TVI_DISABLE_TEMPORAL_LN")
             and fused_temporal_eligible(
                 hidden_states.shape[0], hidden_states.shape[1],
                 hidden_states.shape[2], inner, out_features, self.qkv_bias))
@@ -554,6 +555,7 @@ class Attention(nn.Module):
             # the caller's LayerNorm (norm1/norm2) — applied functionally
             # here; the fused paths fold it into the kernels instead
             hidden_states = layer_norm(hidden_states, pre_ln[0], pre_ln[1])
+            pre_ln = None
 
         if (encoder_hidden_states is not None and not fused_cross_ok
                 and encoder_hidden_states.ndim == 3
@@ -621,8 +623,7 @@ class Attention(nn.Module):
         fused_ok = (
             encoder_hidden_states is None and bias is None and not want_stats
             and not self.residual_connection
-            and (fused_temporal_ln_ok or (not residual_add
-                                          and pre_ln is None))
+            and (fused_temporal_ln_ok or pre_ln is None)
             and self.norm_num_groups is None and not serve_int8()
             and hidden_states.ndim == 3 and hidden_states.shape[1] <= 64
             and _flash_enabled()
@@ -632,10 +633,15 @@ class Attention(nn.Module):
                 hidden_states.shape[2], inner, out_features, self.qkv_bias))
         if fused_ok:
             lns, lnb = pre_ln if fused_temporal_ln_ok else (None, None)
-            return fused_temporal_self_attention(
+            out = fused_temporal_self_attention(
                 hidden_states, wq, wk, wv, wo, bo,
                 heads=self.heads, scale=self.dim_head ** -0.5,
                 lns=lns, lnb=lnb, residual=fused_temporal_ln_ok)
+            if residual_add and not fused_temporal_ln_ok:
+                # TVI_DISABLE_TEMPORAL_LN A/B: kernel without the fold,
+                # LN applied above, residual added here
+                out = out + residual.astype(out.dtype)
+            return out
 
         if fused_spatial_ok:
             # LN + QKV + flash fused; out-projection contracts the
