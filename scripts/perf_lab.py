@@ -1463,3 +1463,64 @@ GROUPS["round3"] = ["fused_temporal_320", "unfused_temporal_320",
 
 if __name__ == "__main__":
     main()
+
+
+def bench_v5(name, b=50, s=9216, heads=5, c=0, c_in=0, iters=10):
+    """v5 whole-sublayer kernel (LN + QKV + flash + out-proj + residual,
+    optional in-kernel proj_in) at the model's spatial shapes."""
+    from tvi.ops.pallas_attention_v5 import fused_ln_attention_out
+
+    c = c or heads * 64
+    inner = heads * 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    mk = lambda i, shape, sc=1.0: (jax.random.normal(ks[i], shape, jnp.bfloat16) * sc)
+    x = mk(0, (b, s, c_in or c))
+    lns = jnp.ones((c,), jnp.bfloat16)
+    lnb = jnp.zeros((c,), jnp.bfloat16)
+    wq = mk(1, (c, inner), c ** -0.5)
+    wkv = mk(2, (c, 2 * inner), c ** -0.5)
+    wo = mk(3, (inner, c), inner ** -0.5)
+    bo = jnp.zeros((c,), jnp.bfloat16)
+    w_in = mk(4, (c_in, c), c_in ** -0.5) if c_in else None
+    b_in = jnp.zeros((c,), jnp.bfloat16) if c_in else None
+
+    @jax.jit
+    def run(x, lns, lnb, wq, wkv, wo, bo, w_in, b_in):
+        def body(i, cur):
+            out = fused_ln_attention_out(cur, lns, lnb, wq, wkv, wo, bo,
+                                         w_in, b_in, heads=heads,
+                                         scale=64 ** -0.5)
+            if c_in and c_in != c:
+                out = jnp.pad(out, ((0, 0), (0, 0), (0, c_in - c)))
+            return (0.99 * out).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(x, lns, lnb, wq, wkv, wo, bo, w_in, b_in)
+    float(jnp.float32(out[0, 0, 0]))
+    t0 = time.perf_counter()
+    out = run(x, lns, lnb, wq, wkv, wo, bo, w_in, b_in)
+    float(jnp.float32(out[0, 0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    flops = (2 * b * s * (c_in or 0) * c + 2 * b * s * c * 3 * inner
+             + 2 * 2 * b * s * s * inner + 2 * b * s * inner * c)
+    report(name, dt, flops)
+
+
+exp("v5_320")(lambda: bench_v5("v5_320 (50,9216,c320)"))
+exp("v5_640")(lambda: bench_v5("v5_640 (50,2304,c640)", s=2304, heads=10))
+exp("v5_1280")(lambda: bench_v5("v5_1280 (50,576,c1280)", s=576, heads=20))
+exp("v5p_320")(lambda: bench_v5("v5p_320 (projin 320->320)", c_in=320))
+exp("v5p_640")(lambda: bench_v5("v5p_640 (projin 640->640)", s=2304,
+                                heads=10, c_in=640))
+
+# round-3 session-4 A/B ladder: v5 / proj_in fold / temporal LN fold /
+# packed-QKV attribution (PERF.md session 4)
+exp("unet_fwd_nov5")(lambda: bench_unet_fwd(
+    "unet_fwd_nov5", env={"TVI_DISABLE_ATTN_V5": "1"}))
+exp("unet_fwd_noprojin")(lambda: bench_unet_fwd(
+    "unet_fwd_noprojin", env={"TVI_DISABLE_V5_PROJIN": "1"}))
+exp("unet_fwd_notemporalln")(lambda: bench_unet_fwd(
+    "unet_fwd_notemporalln", env={"TVI_DISABLE_TEMPORAL_LN": "1"}))
+exp("unet_fwd_nov5_nopacked")(lambda: bench_unet_fwd(
+    "unet_fwd_nov5_nopacked", env={"TVI_DISABLE_ATTN_V5": "1",
+                                   "TVI_DISABLE_ATTN_PACKED": "1"}))

@@ -496,6 +496,15 @@ class Attention(nn.Module):
                 bsz * seq, cdim, inner, out_features,
                 encoder_hidden_states.shape[1], rpg, residual_add)
 
+        if in_proj is not None and os.environ.get("TVI_DISABLE_V5_PROJIN"):
+            # A/B knob: keep v5 but apply proj_in as a standalone XLA pass
+            w_in, b_in = in_proj
+            hidden_states = (hidden_states.astype(self.dtype)
+                             @ w_in.astype(self.dtype)
+                             + b_in.astype(self.dtype))
+            residual = hidden_states
+            in_proj = None
+
         # Spatial self-attention v5 (tvi/ops/pallas_attention_v5.py): the
         # whole sublayer (LN + QKV projections + flash + out-proj +
         # residual) as ONE kernel — on a single-core chip the LN pass and
@@ -510,7 +519,9 @@ class Attention(nn.Module):
                 and not self.qkv_bias and not serve_int8()
                 and hidden_states.ndim == 3 and hidden_states.shape[1] > 64
                 and self.dim_head == 64 and _flash_enabled()
-                and out_features == residual.shape[-1]
+                and out_features == (in_proj[0].shape[-1]
+                                     if in_proj is not None
+                                     else residual.shape[-1])
                 and not os.environ.get("TVI_DISABLE_ATTN_OUT")
                 and not os.environ.get("TVI_DISABLE_ATTN_V5")
                 and _default_attn_shift() == "bound_unguarded"):
