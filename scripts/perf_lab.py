@@ -1524,3 +1524,76 @@ exp("unet_fwd_notemporalln")(lambda: bench_unet_fwd(
 exp("unet_fwd_nov5_nopacked")(lambda: bench_unet_fwd(
     "unet_fwd_nov5_nopacked", env={"TVI_DISABLE_ATTN_V5": "1",
                                    "TVI_DISABLE_ATTN_PACKED": "1"}))
+
+
+def check_v5(name, b=4, s=2304, heads=5, c=320, c_in=0):
+    """TPU parity check: the v5 kernel's cross-program scratch persistence
+    (KV computed at q-block 0, consumed by later q-blocks of the same
+    batch) is an ordering assumption interpret mode cannot validate —
+    compare against the XLA reference ON THE CHIP before trusting benches."""
+    from tvi.ops.pallas_attention_v5 import (
+        fused_ln_attention_out,
+        ln_attention_out_reference,
+    )
+
+    inner = heads * 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    mk = lambda i, shape, sc=1.0: (jax.random.normal(ks[i], shape, jnp.bfloat16) * sc)
+    x = mk(0, (b, s, c_in or c))
+    lns = mk(5, (c,), 0.2) + 1.0
+    lnb = mk(6, (c,), 0.2)
+    wq = mk(1, (c, inner), c ** -0.5)
+    wkv = mk(2, (c, 2 * inner), c ** -0.5)
+    wo = mk(3, (inner, c), inner ** -0.5)
+    bo = jnp.zeros((c,), jnp.bfloat16)
+    w_in = mk(4, (c_in, c), c_in ** -0.5) if c_in else None
+    b_in = jnp.zeros((c,), jnp.bfloat16) if c_in else None
+
+    got = fused_ln_attention_out(x, lns, lnb, wq, wkv, wo, bo, w_in, b_in,
+                                 heads=heads, scale=64 ** -0.5)
+    want = ln_attention_out_reference(x, lns, lnb, wq, wkv, wo, bo, w_in,
+                                      b_in, heads=heads, scale=64 ** -0.5)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    ref = float(jnp.max(jnp.abs(want.astype(jnp.float32))))
+    print(f"[{name}] max|err|={err:.5f} max|ref|={ref:.3f} "
+          f"{'OK' if err < 0.05 * max(ref, 1.0) else 'MISMATCH'}", flush=True)
+
+
+exp("v5_check")(lambda: check_v5("v5_check (4,2304,c320)"))
+exp("v5_check_projin")(lambda: check_v5("v5_check_projin", c_in=320))
+exp("v5_check_576")(lambda: check_v5("v5_check_576 (4,576,c1280)", s=576,
+                                     heads=20, c=1280))
+
+
+def check_temporal_ln(name, r=1024, f=25, c=320, heads=5):
+    """TPU parity: LN+residual folded into the fused temporal kernel."""
+    from tvi.ops.pallas_fused_temporal import (
+        fused_temporal_reference,
+        fused_temporal_self_attention,
+    )
+
+    inner = c
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    mk = lambda i, shape, sc=1.0: (jax.random.normal(ks[i], shape, jnp.bfloat16) * sc)
+    x = mk(0, (r, f, c))
+    lns = mk(1, (c,), 0.2) + 1.0
+    lnb = mk(2, (c,), 0.2)
+    wq, wk, wv = mk(3, (c, inner), c ** -0.5), mk(4, (c, inner), c ** -0.5), \
+        mk(5, (c, inner), c ** -0.5)
+    wo = mk(6, (inner, c), inner ** -0.5)
+    bo = jnp.zeros((c,), jnp.bfloat16)
+    got = fused_temporal_self_attention(x, wq, wk, wv, wo, bo, heads=heads,
+                                        scale=64 ** -0.5, lns=lns, lnb=lnb,
+                                        residual=True)
+    want = fused_temporal_reference(x, lns, lnb, wq, wk, wv, wo, bo,
+                                    heads=heads, scale=64 ** -0.5,
+                                    residual=True)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    ref = float(jnp.max(jnp.abs(want.astype(jnp.float32))))
+    print(f"[{name}] max|err|={err:.5f} max|ref|={ref:.3f} "
+          f"{'OK' if err < 0.05 * max(ref, 1.0) else 'MISMATCH'}", flush=True)
+
+
+exp("temporal_ln_check")(lambda: check_temporal_ln("temporal_ln_check"))
