@@ -517,6 +517,88 @@ class TestFlashAttentionOut:
                                    atol=3e-4, rtol=3e-4)
 
 
+    def test_ff_epilogue(self, rng):
+        """norm3 + GEGLU FF folded into the cross kernel's epilogue vs the
+        unfused cross -> FF chain (tvi/ops/pallas_fused_cross.py)."""
+        from tvi.ops.pallas_fused_cross import (
+            fused_cross_attention,
+            fused_cross_reference,
+            to_head_major_ctx,
+        )
+        from tvi.ops.pallas_fused_ff import fused_ff_reference
+
+        g, rpg, c, heads, s_ctx = 2, 256, 128, 2, 3
+        inner = heads * 64
+        f_inner = 4 * c
+        m = g * rpg
+        ks = jax.random.split(rng, 10)
+        x2 = jax.random.normal(ks[0], (m, c))
+        lns = jax.random.normal(ks[1], (c,)) * 0.2 + 1.0
+        lnb = jnp.zeros((c,))
+        wq = jax.random.normal(ks[2], (c, inner)) * c ** -0.5
+        ck = jax.random.normal(ks[3], (g, s_ctx, inner))
+        cv = jax.random.normal(ks[4], (g, s_ctx, inner))
+        wo = jax.random.normal(ks[5], (inner, c)) * inner ** -0.5
+        bo = jnp.zeros((c,))
+        fls = jax.random.normal(ks[6], (c,)) * 0.2 + 1.0
+        flb = jnp.zeros((c,))
+        fw1 = jax.random.normal(ks[7], (c, 2 * f_inner)) * c ** -0.5
+        fb1 = jax.random.normal(ks[8], (2 * f_inner,)) * 0.1
+        fw2 = jax.random.normal(ks[9], (f_inner, c)) * f_inner ** -0.5
+        fb2 = jnp.zeros((c,))
+        scale = 64 ** -0.5
+        ckh = to_head_major_ctx(ck, heads)
+        cvh = to_head_major_ctx(cv, heads)
+
+        got = fused_cross_attention(
+            x2, lns, lnb, wq, ckh, cvh, wo, bo, heads=heads, scale=scale,
+            rows_per_group=rpg, residual=True,
+            ff_params=(fls, flb, fw1, fb1, fw2, fb2), bm=128, interpret=True)
+        y = fused_cross_reference(x2, lns, lnb, wq, ckh, cvh, wo, bo,
+                                  heads=heads, scale=scale,
+                                  rows_per_group=rpg, residual=True)
+        want = fused_ff_reference(y, fls, flb, fw1, fb1, fw2, fb2,
+                                  residual=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-4, rtol=3e-4)
+
+    def test_ff_epilogue_grad(self, rng):
+        from tvi.ops.pallas_fused_cross import (
+            fused_cross_attention,
+            to_head_major_ctx,
+        )
+        g, rpg, c, heads, s_ctx = 2, 128, 64, 1, 2
+        inner = heads * 64
+        m = g * rpg
+        ks = jax.random.split(rng, 8)
+        x2 = jax.random.normal(ks[0], (m, c))
+        wq = jax.random.normal(ks[1], (c, inner)) * 0.1
+        ck = to_head_major_ctx(jax.random.normal(ks[2], (g, s_ctx, inner)),
+                               heads)
+        cv = to_head_major_ctx(jax.random.normal(ks[3], (g, s_ctx, inner)),
+                               heads)
+        wo = jax.random.normal(ks[4], (inner, c)) * 0.1
+        bo = jnp.zeros((c,))
+        fw1 = jax.random.normal(ks[5], (c, 8 * c)) * 0.1
+        fb1 = jnp.zeros((8 * c,))
+        fw2 = jax.random.normal(ks[6], (4 * c, c)) * 0.1
+        fb2 = jnp.zeros((c,))
+        lns, lnb = jnp.ones((c,)), jnp.zeros((c,))
+
+        def loss(fw1_, x_):
+            out = fused_cross_attention(
+                x_, lns, lnb, wq, ck, cv, wo, bo, heads=heads,
+                scale=64 ** -0.5, rows_per_group=rpg, residual=True,
+                ff_params=(lns, lnb, fw1_, fb1, fw2, fb2), bm=64,
+                interpret=True)
+            return jnp.sum(out ** 2)
+
+        gw, gx = jax.grad(loss, argnums=(0, 1))(fw1, x2)
+        assert np.isfinite(np.asarray(gw)).all()
+        assert np.isfinite(np.asarray(gx)).all()
+        assert float(jnp.abs(gw).max()) > 0
+
+
 class TestLnAttentionOutV5:
     """v5 whole-sublayer kernel (LN + QKV + flash + out-proj + residual)
     vs the unfused XLA composition (tvi/ops/pallas_attention_v5.py)."""

@@ -208,7 +208,8 @@ class FeedForward(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, pre_ln=None, residual: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, pre_ln=None, residual: bool = False,
+                 return_params: bool = False):
         import os
 
         dim = x.shape[-1]
@@ -219,6 +220,19 @@ class FeedForward(nn.Module):
 
         from tvi.ops.attention import _flash_enabled
         from tvi.ops.pallas_fused_ff import fused_ff_eligible, fused_feedforward
+
+        if return_params:
+            # caller consumes the raw weights (the fused cross+FF kernel
+            # epilogue); identical param tree, nothing applied here
+            w1, b1 = _GegluProj(inner * 2, dtype=self.dtype,
+                                param_dtype=self.param_dtype,
+                                name="proj_geglu")(x2, return_params=True)
+            w2, b2 = MaybeQuantDense(out_f, dtype=self.dtype,
+                                     param_dtype=self.param_dtype,
+                                     name="proj_out")(
+                                         jnp.zeros((1, inner), self.dtype),
+                                         return_params=True)
+            return w1, b1, w2, b2
 
         fused_ok = (
             _flash_enabled() and not serve_int8()
@@ -431,6 +445,7 @@ class Attention(nn.Module):
         pre_ln: Optional[Tuple[jax.Array, jax.Array]] = None,
         residual_add: bool = False,
         in_proj: Optional[Tuple[jax.Array, jax.Array]] = None,
+        post_ff: Optional[Tuple] = None,
     ):
         import os
 
@@ -478,6 +493,7 @@ class Attention(nn.Module):
         # context row-group (the temporal path passes the compact
         # per-CFG-batch context instead of a per-pixel broadcast).
         fused_cross_ok = False
+        fused_cross_ff = False
         if (encoder_hidden_states is not None and bias is None
                 and not want_stats and not self.residual_connection
                 and self.norm_num_groups is None and not serve_int8()
@@ -492,9 +508,18 @@ class Attention(nn.Module):
             bsz, seq, cdim = hidden_states.shape
             g = encoder_hidden_states.shape[0]
             rpg = (bsz // g) * seq
-            fused_cross_ok = residual_add and fused_cross_eligible(
-                bsz * seq, cdim, inner, out_features,
-                encoder_hidden_states.shape[1], rpg, residual_add)
+            if post_ff is not None and not os.environ.get(
+                    "TVI_DISABLE_CROSS_FF"):
+                # fold the block's norm3 + GEGLU FF into the cross kernel's
+                # epilogue when the FF weights fit the VMEM budget
+                fused_cross_ff = residual_add and fused_cross_eligible(
+                    bsz * seq, cdim, inner, out_features,
+                    encoder_hidden_states.shape[1], rpg, residual_add,
+                    ff_inner=post_ff[4].shape[0])
+            fused_cross_ok = fused_cross_ff or (
+                residual_add and fused_cross_eligible(
+                    bsz * seq, cdim, inner, out_features,
+                    encoder_hidden_states.shape[1], rpg, residual_add))
 
         if in_proj is not None and os.environ.get("TVI_DISABLE_V5_PROJIN"):
             # A/B knob: keep v5 but apply proj_in as a standalone XLA pass
@@ -612,6 +637,30 @@ class Attention(nn.Module):
                 heads=self.heads, scale=self.dim_head ** -0.5, eps=1e-5,
                 residual=True)
 
+        def _apply_post_ff(y):
+            # the block's norm3 + GEGLU FF + residual, applied to the
+            # attention output when it wasn't folded into a kernel —
+            # whole-FF Pallas kernel on TPU, reference math elsewhere
+            from tvi.ops.pallas_fused_ff import (
+                fused_ff_eligible,
+                fused_feedforward,
+            )
+            from tvi.ops.diffable import chunked_ff_reference
+
+            lns3, lnb3, fw1, fb1, fw2, fb2 = post_ff
+            cast = lambda t: t.astype(self.dtype)
+            y2 = y.reshape(-1, y.shape[-1]).astype(self.dtype)
+            if (_flash_enabled()
+                    and os.environ.get("TVI_FUSED_FF", "1") != "0"
+                    and fused_ff_eligible(y2.shape[0], y2.shape[-1],
+                                          fw1.shape[-1], fw2.shape[-1])):
+                z = fused_feedforward(y2, lns3, lnb3, cast(fw1), cast(fb1),
+                                      cast(fw2), cast(fb2), residual=True)
+            else:
+                z = chunked_ff_reference(y2, lns3, lnb3, cast(fw1), cast(fb1),
+                                         cast(fw2), cast(fb2), residual=True)
+            return z.reshape(y.shape)
+
         if fused_cross_ok:
             from tvi.ops.pallas_fused_cross import (
                 fused_cross_attention,
@@ -622,14 +671,22 @@ class Attention(nn.Module):
             ck = context @ wk                        # (G, S_ctx, inner)
             cv = context @ wv
             lns, lnb = pre_ln if pre_ln is not None else (None, None)
+            ffp = None
+            if fused_cross_ff:
+                cast = lambda t: t.astype(self.dtype)
+                ffp = (post_ff[0], post_ff[1], cast(post_ff[2]),
+                       cast(post_ff[3]), cast(post_ff[4]), cast(post_ff[5]))
             out2 = fused_cross_attention(
                 hidden_states.reshape(bsz * seq, cdim), lns, lnb, wq,
                 to_head_major_ctx(ck, self.heads),
                 to_head_major_ctx(cv, self.heads), wo, bo,
                 heads=self.heads, scale=self.dim_head ** -0.5,
                 rows_per_group=(bsz // context.shape[0]) * seq,
-                eps=self.eps, residual=True)
-            return out2.reshape(bsz, seq, out_features)
+                eps=self.eps, residual=True, ff_params=ffp)
+            out2 = out2.reshape(bsz, seq, out_features)
+            if post_ff is not None and not fused_cross_ff:
+                out2 = _apply_post_ff(out2)
+            return out2
 
         fused_ok = (
             encoder_hidden_states is None and bias is None and not want_stats
@@ -754,6 +811,8 @@ class Attention(nn.Module):
             # caller-requested sublayer residual (folded into the fused
             # cross kernel on the TPU path); residual is the pre-LN input
             out = out + residual.astype(out.dtype)
+        if post_ff is not None:
+            out = _apply_post_ff(out)
         if want_stats:
             return out, stats
         return out

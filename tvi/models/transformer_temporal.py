@@ -65,6 +65,7 @@ class BasicTransformerBlock(nn.Module):
                              @ in_proj[0].astype(self.dtype)
                              + in_proj[1].astype(self.dtype))
             in_proj = None
+        ff_applied = False
         if not ablated("spatial_attn"):
             # norm1 is passed as raw params so the TPU path can fold the
             # LayerNorm into the fused LN+QKV+flash kernels
@@ -84,15 +85,31 @@ class BasicTransformerBlock(nn.Module):
                 hidden_states, pre_ln=norm1, residual_add=True,
                 in_proj=in_proj)
             if self.cross_attention:
+                from tvi.models.layers import serve_int8
+
                 # norm2 + attn2 + residual fold into the fused small-context
-                # cross kernel on TPU (tvi/ops/pallas_fused_cross.py)
+                # cross kernel on TPU (tvi/ops/pallas_fused_cross.py); the
+                # trailing norm3 + GEGLU FF folds into the same kernel's
+                # epilogue (raw params threaded via post_ff; ineligible
+                # shapes / CPU apply it right after attn2 — identical math)
                 norm2 = LayerNormParams(features=hidden_states.shape[-1],
                                         param_dtype=self.param_dtype,
                                         name="norm2")()
+                post_ff = None
+                if not ablated("ff") and not serve_int8():
+                    norm3 = LayerNormParams(
+                        features=hidden_states.shape[-1],
+                        param_dtype=self.param_dtype, name="norm3")()
+                    ffp = FeedForward(dtype=self.dtype,
+                                      param_dtype=self.param_dtype,
+                                      name="ff")(hidden_states,
+                                                 return_params=True)
+                    post_ff = (norm3[0], norm3[1]) + tuple(ffp)
+                    ff_applied = True
                 hidden_states = attn("attn2")(
                     hidden_states, encoder_hidden_states,
-                    pre_ln=norm2, residual_add=True)
-        if not ablated("ff"):
+                    pre_ln=norm2, residual_add=True, post_ff=post_ff)
+        if not ablated("ff") and not ff_applied:
             from tvi.models.layers import LayerNormParams
 
             norm3 = LayerNormParams(features=hidden_states.shape[-1],
@@ -158,25 +175,38 @@ class TemporalBasicTransformerBlock(nn.Module):
                 hidden_states, pre_ln=norm1, residual_add=True)
 
         stats = None
+        ff_applied = False
         if self.cross_attention and not (ablated("temporal_attn") or ablated("temporal_cross")):
-            from tvi.models.layers import LayerNormParams
+            from tvi.models.layers import LayerNormParams, serve_int8
 
             norm2 = LayerNormParams(features=hidden_states.shape[-1],
                                     param_dtype=self.param_dtype,
                                     name="norm2")()
-            # residual + norm2 fold into the fused cross kernel on TPU;
+            # residual + norm2 fold into the fused cross kernel on TPU; the
+            # trailing norm3 + GEGLU FF folds into its epilogue (post_ff);
             # the context may arrive grouped (G, S_ctx, D) with G dividing
             # the row batch (the compact per-CFG-batch first-frame tokens)
+            post_ff = None
+            if not ablated("ff") and not serve_int8():
+                norm3 = LayerNormParams(features=hidden_states.shape[-1],
+                                        param_dtype=self.param_dtype,
+                                        name="norm3")()
+                ffp = FeedForward(dtype=self.dtype,
+                                  param_dtype=self.param_dtype,
+                                  name="ff")(hidden_states,
+                                             return_params=True)
+                post_ff = (norm3[0], norm3[1]) + tuple(ffp)
+                ff_applied = True
             out = attn("attn2")(
                 hidden_states, encoder_hidden_states,
                 bias=temporal_bias, want_stats=want_stats,
-                pre_ln=norm2, residual_add=True)
+                pre_ln=norm2, residual_add=True, post_ff=post_ff)
             if want_stats:
                 out, stats = out
                 self.sow("intermediates", "attn_stats", stats)
             hidden_states = out
 
-        if not ablated("ff"):
+        if not ablated("ff") and not ff_applied:
             from tvi.models.layers import LayerNormParams
 
             norm3 = LayerNormParams(features=hidden_states.shape[-1],

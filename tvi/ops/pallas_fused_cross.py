@@ -54,9 +54,14 @@ CTX_PAD = 128
 
 
 def _fused_cross_kernel(x_ref, lns_ref, lnb_ref, wq_ref, ck_ref, cv_ref,
-                        wo_ref, bo_ref, o_ref, *, heads: int, scale: float,
+                        wo_ref, bo_ref, *refs, heads: int, scale: float,
                         eps: float, with_ln: bool, residual: bool,
-                        ctx_valid: int):
+                        ctx_valid: int, with_ff: bool = False):
+    if with_ff:
+        (fls_ref, flb_ref, wh_ref, wg_ref, bh_ref, bg_ref, w2_ref, b2_ref,
+         o_ref) = refs
+    else:
+        (o_ref,) = refs
     x = x_ref[:]                                    # (BM, C)
     h = (_ln_rows(x, lns_ref[0], lnb_ref[0], eps).astype(x.dtype)
          if with_ln else x)
@@ -91,6 +96,20 @@ def _fused_cross_kernel(x_ref, lns_ref, lnb_ref, wq_ref, ck_ref, cv_ref,
     acc = acc + bo_ref[:].astype(jnp.float32)
     if residual:
         acc = acc + x.astype(jnp.float32)
+    if with_ff:
+        # the block's norm3 + GEGLU FF + residual folded as an epilogue
+        # (the FF consumes attn2's output directly — the y write/read
+        # kernel boundary disappears); math == pallas_fused_ff.
+        from tvi.ops.pallas_geglu import _erf
+
+        y = acc.astype(x.dtype)                     # bf16 round-trip == chain
+        h_in = _ln_rows(y, fls_ref[0], flb_ref[0], eps).astype(x.dtype)
+        h2 = mm(h_in, wh_ref[:]) + bh_ref[:].astype(jnp.float32)
+        g2 = mm(h_in, wg_ref[:]) + bg_ref[:].astype(jnp.float32)
+        gated = (h2 * (0.5 * g2 * (1.0 + _erf(g2 * 0.7071067811865476)))
+                 ).astype(x.dtype)
+        acc = mm(gated, w2_ref[:]) + b2_ref[:].astype(jnp.float32) \
+            + y.astype(jnp.float32)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -127,19 +146,42 @@ def fused_cross_attention(x2: jax.Array, ln_scale, ln_bias, wq: jax.Array,
                           bo: jax.Array, heads: int, scale: float,
                           rows_per_group: int, eps: float = 1e-5,
                           residual: bool = True, bm: int = 0,
+                          ff_params=None,
                           interpret: bool = False) -> jax.Array:
     """Differentiable wrapper: Pallas forward, reference-XLA backward
-    (tvi/ops/diffable.py)."""
+    (tvi/ops/diffable.py).  ``ff_params``: optional
+    (ff_lns, ff_lnb, w1, b1, w2, b2) — the block's norm3 + GEGLU FF +
+    residual fold into the kernel's epilogue."""
     from tvi.ops.diffable import pallas_with_reference_vjp
 
     fused = functools.partial(_fused_cross_fwd, heads=heads, scale=scale,
                               rows_per_group=rows_per_group, eps=eps,
                               residual=residual, bm=bm, interpret=interpret)
-    ref = functools.partial(fused_cross_reference, heads=heads, scale=scale,
+    ref = functools.partial(cross_ff_reference, heads=heads, scale=scale,
                             rows_per_group=rows_per_group, eps=eps,
                             residual=residual)
+    fp = ff_params if ff_params is not None else (None,) * 6
     return pallas_with_reference_vjp(fused, ref, x2, ln_scale, ln_bias, wq,
-                                     ctx_k, ctx_v, wo, bo)
+                                     ctx_k, ctx_v, wo, bo, *fp)
+
+
+def cross_ff_reference(x2, ln_scale, ln_bias, wq, ctx_k, ctx_v, wo, bo,
+                       ff_lns=None, ff_lnb=None, fw1=None, fb1=None,
+                       fw2=None, fb2=None, heads: int = 1, scale: float = 1.0,
+                       rows_per_group: int = 1, eps: float = 1e-5,
+                       residual: bool = True) -> jax.Array:
+    """fused_cross_reference optionally chained with the FF epilogue —
+    backward path + parity oracle for the merged kernel."""
+    y = fused_cross_reference(x2, ln_scale, ln_bias, wq, ctx_k, ctx_v, wo,
+                              bo, heads=heads, scale=scale,
+                              rows_per_group=rows_per_group, eps=eps,
+                              residual=residual)
+    if fw1 is None:
+        return y
+    from tvi.ops.diffable import chunked_ff_reference
+
+    return chunked_ff_reference(y, ff_lns, ff_lnb, fw1, fb1, fw2, fb2,
+                                eps=eps, residual=True)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "eps",
@@ -147,17 +189,21 @@ def fused_cross_attention(x2: jax.Array, ln_scale, ln_bias, wq: jax.Array,
                                              "bm", "interpret"))
 def _fused_cross_fwd(x2: jax.Array, ln_scale, ln_bias, wq: jax.Array,
                      ctx_k: jax.Array, ctx_v: jax.Array, wo: jax.Array,
-                     bo: jax.Array, heads: int, scale: float,
-                     rows_per_group: int, eps: float = 1e-5,
+                     bo: jax.Array, ff_lns=None, ff_lnb=None, fw1=None,
+                     fb1=None, fw2=None, fb2=None, heads: int = 1,
+                     scale: float = 1.0, rows_per_group: int = 1,
+                     eps: float = 1e-5,
                      residual: bool = True, bm: int = 0,
                      interpret: bool = False) -> jax.Array:
     """x2: (M, C) with M = G * rows_per_group; ln_scale/bias: (C,) or None;
     wq: (C, inner); ctx_k/ctx_v: (G, heads, S_ctx, d) head-major projected
-    context; wo: (inner, C_out); bo: (C_out,)."""
+    context; wo: (inner, C_out); bo: (C_out,); fw1/fb1/fw2/fb2 + ff_lns/
+    ff_lnb: optional norm3 + GEGLU FF epilogue."""
     m, c = x2.shape
     g, _, s_ctx, d = ctx_k.shape
     c_out = wo.shape[-1]
     with_ln = ln_scale is not None
+    with_ff = fw1 is not None
     if not with_ln:
         ln_scale = jnp.ones((c,), jnp.float32)
         ln_bias = jnp.zeros((c,), jnp.float32)
@@ -177,14 +223,27 @@ def _fused_cross_fwd(x2: jax.Array, ln_scale, ln_bias, wq: jax.Array,
                             memory_space=pltpu.VMEM)
     w_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                     memory_space=pltpu.VMEM)
+    operands = [x2, lns, lnb, wq, ctx_k, ctx_v, wo, bo.reshape(1, c_out)]
+    in_specs = [row_spec, w_spec(lns), w_spec(lnb), w_spec(wq),
+                ctx_spec, ctx_spec, w_spec(wo),
+                w_spec(bo.reshape(1, c_out))]
+    ff_flops = 0
+    if with_ff:
+        f_inner = fw2.shape[0]
+        wh, wg = fw1[:, :f_inner], fw1[:, f_inner:]
+        bh = fb1[:f_inner].reshape(1, f_inner)
+        bg = fb1[f_inner:].reshape(1, f_inner)
+        ff_ops = [ff_lns.reshape(1, c_out), ff_lnb.reshape(1, c_out),
+                  wh, wg, bh, bg, fw2, fb2.reshape(1, c_out)]
+        operands += ff_ops
+        in_specs += [w_spec(a) for a in ff_ops]
+        ff_flops = 2 * m * c_out * 3 * f_inner
     out = pl.pallas_call(
         functools.partial(_fused_cross_kernel, heads=heads, scale=scale,
                           eps=eps, with_ln=with_ln, residual=residual,
-                          ctx_valid=s_ctx),
+                          ctx_valid=s_ctx, with_ff=with_ff),
         grid=grid,
-        in_specs=[row_spec, w_spec(lns), w_spec(lnb), w_spec(wq),
-                  ctx_spec, ctx_spec, w_spec(wo),
-                  w_spec(bo.reshape(1, c_out))],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, c_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, c_out), x2.dtype),
@@ -194,17 +253,22 @@ def _fused_cross_fwd(x2: jax.Array, ln_scale, ln_bias, wq: jax.Array,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * c * (wq.shape[-1] + c_out)
-            + 4 * m * wq.shape[-1] * s_ctx,
+            + 4 * m * wq.shape[-1] * s_ctx + ff_flops,
             bytes_accessed=(m * c + m * c_out) * 2,
             transcendentals=m * heads * s_ctx,
         ),
         interpret=interpret,
-    )(x2, lns, lnb, wq, ctx_k, ctx_v, wo, bo.reshape(1, c_out))
+    )(*operands)
     return out
 
 
 def fused_cross_eligible(m: int, c: int, inner: int, c_out: int, s_ctx: int,
-                         rows_per_group: int, residual: bool) -> bool:
+                         rows_per_group: int, residual: bool,
+                         ff_inner: int = 0) -> bool:
+    """``ff_inner``: GEGLU epilogue inner width (0 = no FF fold).  The FF
+    fold is gated to weight sets <= 20 MB (the fused whole-FF kernel's
+    measured crowding threshold, PERF.md fff_1280) plus the fp32 GEGLU
+    block temporaries."""
     if s_ctx > 8 or inner % 64 or c % 8 or c_out % 8:
         return False
     if residual and c_out != c:
@@ -216,7 +280,13 @@ def fused_cross_eligible(m: int, c: int, inner: int, c_out: int, s_ctx: int,
     if bm is None or bm < 64 or m < 2 * bm:
         return False
     weights = (c * inner + inner * c_out) * 2
-    return weights < 24 * 1024 * 1024
+    if ff_inner:
+        ff_weights = (c_out * 2 * ff_inner + ff_inner * c_out) * 2
+        if ff_weights > 20 * 1024 * 1024:
+            return False
+        weights += ff_weights
+        weights += 2 * bm * 2 * ff_inner * 4      # h/g fp32 block temps
+    return weights < 44 * 1024 * 1024
 
 
 def to_head_major_ctx(k: jax.Array, heads: int) -> jax.Array:
