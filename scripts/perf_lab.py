@@ -1597,3 +1597,50 @@ def check_temporal_ln(name, r=1024, f=25, c=320, heads=5):
 
 
 exp("temporal_ln_check")(lambda: check_temporal_ln("temporal_ln_check"))
+
+
+exp("unet_fwd_nocrossff")(lambda: bench_unet_fwd(
+    "unet_fwd_nocrossff", env={"TVI_DISABLE_CROSS_FF": "1"}))
+
+
+def check_cross_ff(name, g=4, rpg=4608, c=320, heads=5, s_ctx=3):
+    """TPU parity: norm3+GEGLU FF epilogue folded into the cross kernel."""
+    from tvi.ops.pallas_fused_cross import (
+        cross_ff_reference,
+        fused_cross_attention,
+        to_head_major_ctx,
+    )
+
+    inner = heads * 64
+    f_inner = 4 * c
+    m = g * rpg
+    ks = jax.random.split(jax.random.PRNGKey(0), 10)
+    mk = lambda i, shape, sc=1.0: (jax.random.normal(ks[i], shape, jnp.bfloat16) * sc)
+    x2 = mk(0, (m, c))
+    lns = mk(1, (c,), 0.2) + 1.0
+    lnb = mk(2, (c,), 0.2)
+    wq = mk(3, (c, inner), c ** -0.5)
+    ck = to_head_major_ctx(mk(4, (g, s_ctx, inner)), heads)
+    cv = to_head_major_ctx(mk(5, (g, s_ctx, inner)), heads)
+    wo = mk(6, (inner, c), inner ** -0.5)
+    bo = jnp.zeros((c,), jnp.bfloat16)
+    fw1 = mk(7, (c, 2 * f_inner), c ** -0.5)
+    fb1 = mk(8, (2 * f_inner,), 0.1)
+    fw2 = mk(9, (f_inner, c), f_inner ** -0.5)
+    fb2 = jnp.zeros((c,), jnp.bfloat16)
+    ffp = (lns, lnb, fw1, fb1, fw2, fb2)
+    got = fused_cross_attention(x2, lns, lnb, wq, ck, cv, wo, bo,
+                                heads=heads, scale=64 ** -0.5,
+                                rows_per_group=rpg, residual=True,
+                                ff_params=ffp)
+    want = cross_ff_reference(x2, lns, lnb, wq, ck, cv, wo, bo, *ffp,
+                              heads=heads, scale=64 ** -0.5,
+                              rows_per_group=rpg, residual=True)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    ref = float(jnp.max(jnp.abs(want.astype(jnp.float32))))
+    print(f"[{name}] max|err|={err:.5f} max|ref|={ref:.3f} "
+          f"{'OK' if err < 0.05 * max(ref, 1.0) else 'MISMATCH'}", flush=True)
+
+
+exp("cross_ff_check")(lambda: check_cross_ff("cross_ff_check"))
