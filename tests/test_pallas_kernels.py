@@ -292,6 +292,76 @@ class TestFusedTemporalSelfAttention:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-4, rtol=3e-4)
 
+    def test_ffin_prologue(self, rng):
+        """ff_in (norm_in + GEGLU + residual) folded as the kernel's
+        prologue vs the unfused ff_in -> LN -> attention -> residual chain."""
+        from tvi.models.layers import layer_norm
+        from tvi.ops.pallas_fused_ff import fused_ff_reference
+        from tvi.ops.pallas_fused_temporal import (
+            fused_temporal_reference,
+            fused_temporal_self_attention,
+        )
+        r, f, c, heads = 256, 10, 64, 1
+        f_inner = 4 * c
+        ks = jax.random.split(rng, 11)
+        x = jax.random.normal(ks[0], (r, f, c))
+        fls = jax.random.normal(ks[1], (c,)) * 0.2 + 1.0
+        flb = jnp.zeros((c,))
+        fw1 = jax.random.normal(ks[2], (c, 2 * f_inner)) * c ** -0.5
+        fb1 = jax.random.normal(ks[3], (2 * f_inner,)) * 0.1
+        fw2 = jax.random.normal(ks[4], (f_inner, c)) * f_inner ** -0.5
+        fb2 = jnp.zeros((c,))
+        lns = jax.random.normal(ks[5], (c,)) * 0.2 + 1.0
+        lnb = jnp.zeros((c,))
+        wq = jax.random.normal(ks[6], (c, c)) * c ** -0.5
+        wk = jax.random.normal(ks[7], (c, c)) * c ** -0.5
+        wv = jax.random.normal(ks[8], (c, c)) * c ** -0.5
+        wo = jax.random.normal(ks[9], (c, c)) * c ** -0.5
+        bo = jnp.zeros((c,))
+        scale = (c // heads) ** -0.5
+
+        got = fused_temporal_self_attention(
+            x, wq, wk, wv, wo, bo, heads=heads, scale=scale,
+            lns=lns, lnb=lnb, residual=True,
+            ffin_params=(fls, flb, fw1, fb1, fw2, fb2),
+            block_r=64, interpret=True)
+        t1 = fused_ff_reference(x.reshape(r * f, c), fls, flb, fw1, fb1,
+                                fw2, fb2, residual=True).reshape(r, f, c)
+        xn = layer_norm(t1, lns, lnb)
+        want = fused_temporal_reference(xn, None, None, wq, wk, wv, wo, bo,
+                                        heads=heads, scale=scale) + t1
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4, rtol=5e-4)
+
+    def test_ffin_prologue_grad(self, rng):
+        from tvi.ops.pallas_fused_temporal import fused_temporal_self_attention
+        r, f, c = 128, 8, 64
+        ks = jax.random.split(rng, 8)
+        x = jax.random.normal(ks[0], (r, f, c))
+        fw1 = jax.random.normal(ks[1], (c, 8 * c)) * 0.1
+        fb1 = jnp.zeros((8 * c,))
+        fw2 = jax.random.normal(ks[2], (4 * c, c)) * 0.1
+        fb2 = jnp.zeros((c,))
+        ones, zeros = jnp.ones((c,)), jnp.zeros((c,))
+        wq = jax.random.normal(ks[3], (c, c)) * 0.1
+        wk = jax.random.normal(ks[4], (c, c)) * 0.1
+        wv = jax.random.normal(ks[5], (c, c)) * 0.1
+        wo = jax.random.normal(ks[6], (c, c)) * 0.1
+        bo = jnp.zeros((c,))
+
+        def loss(fw1_, x_):
+            out = fused_temporal_self_attention(
+                x_, wq, wk, wv, wo, bo, heads=1, scale=c ** -0.5,
+                lns=ones, lnb=zeros, residual=True,
+                ffin_params=(ones, zeros, fw1_, fb1, fw2, fb2),
+                block_r=64, interpret=True)
+            return jnp.sum(out ** 2)
+
+        gw, gx = jax.grad(loss, argnums=(0, 1))(fw1, x)
+        assert np.isfinite(np.asarray(gw)).all()
+        assert np.isfinite(np.asarray(gx)).all()
+        assert float(jnp.abs(gw).max()) > 0
+
     def test_attention_module_param_tree_unchanged(self, rng):
         """The _DenseParams refactor must keep the exact nn.Dense param tree
         (to_q/kernel etc.) AND the same init values (same RNG paths)."""

@@ -446,6 +446,7 @@ class Attention(nn.Module):
         residual_add: bool = False,
         in_proj: Optional[Tuple[jax.Array, jax.Array]] = None,
         post_ff: Optional[Tuple] = None,
+        pre_ff: Optional[Tuple] = None,
     ):
         import os
 
@@ -559,6 +560,30 @@ class Attention(nn.Module):
                 inner, out_features, self.heads,
                 c_in=hidden_states.shape[2] if in_proj is not None else 0)
 
+        def _apply_ff_params(y, ffp):
+            # a GEGLU FF sublayer (LN + GEGLU + out-proj + residual) from
+            # raw params: whole-FF Pallas kernel on TPU, reference math
+            # elsewhere — used for the pre_ff/post_ff fallbacks
+            from tvi.ops.diffable import chunked_ff_reference
+            from tvi.ops.pallas_fused_ff import (
+                fused_ff_eligible,
+                fused_feedforward,
+            )
+
+            lns3, lnb3, fw1, fb1, fw2, fb2 = ffp
+            cast = lambda t: t.astype(self.dtype)
+            y2 = y.reshape(-1, y.shape[-1]).astype(self.dtype)
+            if (_flash_enabled()
+                    and os.environ.get("TVI_FUSED_FF", "1") != "0"
+                    and fused_ff_eligible(y2.shape[0], y2.shape[-1],
+                                          fw1.shape[-1], fw2.shape[-1])):
+                z = fused_feedforward(y2, lns3, lnb3, cast(fw1), cast(fb1),
+                                      cast(fw2), cast(fb2), residual=True)
+            else:
+                z = chunked_ff_reference(y2, lns3, lnb3, cast(fw1), cast(fb1),
+                                         cast(fw2), cast(fb2), residual=True)
+            return z.reshape(y.shape)
+
         # frame-axis (tiny middle dim) self-attention with the caller's
         # norm1 + residual folded into the fused temporal kernel — kills
         # the XLA LN pass and the residual pass around the kernel
@@ -574,6 +599,26 @@ class Attention(nn.Module):
             and fused_temporal_eligible(
                 hidden_states.shape[0], hidden_states.shape[1],
                 hidden_states.shape[2], inner, out_features, self.qkv_bias))
+
+        # ff_in folded as the fused temporal kernel's GEGLU prologue
+        fused_temporal_ffin_ok = False
+        if (pre_ff is not None and fused_temporal_ln_ok
+                and not os.environ.get("TVI_DISABLE_TEMPORAL_FFIN")
+                and not os.environ.get("TVI_TEMPORAL_FLAT") == "1"):
+            from tvi.ops.pallas_fused_temporal import (
+                fused_temporal_ffin_eligible,
+            )
+
+            fused_temporal_ffin_ok = fused_temporal_ffin_eligible(
+                hidden_states.shape[0], hidden_states.shape[1],
+                hidden_states.shape[2], inner, out_features, self.qkv_bias,
+                pre_ff[4].shape[0])
+        if pre_ff is not None and not fused_temporal_ffin_ok:
+            # apply the block's ff_in sublayer before the attention when
+            # the kernel can't absorb it — identical math
+            hidden_states = _apply_ff_params(hidden_states, pre_ff)
+            residual = hidden_states
+            pre_ff = None
 
         if in_proj is not None and not fused_v5_ok:
             # the caller's proj_in (TransformerSpatioTemporalModel) —
@@ -639,27 +684,8 @@ class Attention(nn.Module):
 
         def _apply_post_ff(y):
             # the block's norm3 + GEGLU FF + residual, applied to the
-            # attention output when it wasn't folded into a kernel —
-            # whole-FF Pallas kernel on TPU, reference math elsewhere
-            from tvi.ops.pallas_fused_ff import (
-                fused_ff_eligible,
-                fused_feedforward,
-            )
-            from tvi.ops.diffable import chunked_ff_reference
-
-            lns3, lnb3, fw1, fb1, fw2, fb2 = post_ff
-            cast = lambda t: t.astype(self.dtype)
-            y2 = y.reshape(-1, y.shape[-1]).astype(self.dtype)
-            if (_flash_enabled()
-                    and os.environ.get("TVI_FUSED_FF", "1") != "0"
-                    and fused_ff_eligible(y2.shape[0], y2.shape[-1],
-                                          fw1.shape[-1], fw2.shape[-1])):
-                z = fused_feedforward(y2, lns3, lnb3, cast(fw1), cast(fb1),
-                                      cast(fw2), cast(fb2), residual=True)
-            else:
-                z = chunked_ff_reference(y2, lns3, lnb3, cast(fw1), cast(fb1),
-                                         cast(fw2), cast(fb2), residual=True)
-            return z.reshape(y.shape)
+            # attention output when it wasn't folded into a kernel
+            return _apply_ff_params(y, post_ff)
 
         if fused_cross_ok:
             from tvi.ops.pallas_fused_cross import (
@@ -701,10 +727,16 @@ class Attention(nn.Module):
                 hidden_states.shape[2], inner, out_features, self.qkv_bias))
         if fused_ok:
             lns, lnb = pre_ln if fused_temporal_ln_ok else (None, None)
+            ffin = None
+            if fused_temporal_ffin_ok:
+                cast = lambda t: t.astype(self.dtype)
+                ffin = (pre_ff[0], pre_ff[1], cast(pre_ff[2]),
+                        cast(pre_ff[3]), cast(pre_ff[4]), cast(pre_ff[5]))
             out = fused_temporal_self_attention(
                 hidden_states, wq, wk, wv, wo, bo,
                 heads=self.heads, scale=self.dim_head ** -0.5,
-                lns=lns, lnb=lnb, residual=fused_temporal_ln_ok)
+                lns=lns, lnb=lnb, residual=fused_temporal_ln_ok,
+                ffin_params=ffin)
             if residual_add and not fused_temporal_ln_ok:
                 # TVI_DISABLE_TEMPORAL_LN A/B: kernel without the fold,
                 # LN applied above, residual added here

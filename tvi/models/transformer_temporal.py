@@ -145,34 +145,48 @@ class TemporalBasicTransformerBlock(nn.Module):
     ):
         ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                     param_dtype=self.param_dtype, name=n)
+        attn1_runs = not (ablated("temporal_attn") or ablated("temporal_self"))
+        pre_ff = None
         if not ablated("ff"):
-            from tvi.models.layers import LayerNormParams
+            from tvi.models.layers import LayerNormParams, serve_int8
 
             norm_in = LayerNormParams(features=hidden_states.shape[-1],
                                       param_dtype=self.param_dtype,
                                       name="norm_in")()
-            # is_res: dims equal -> residual folded into the fused kernel
-            hidden_states = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype,
-                                        name="ff_in")(hidden_states,
-                                                      pre_ln=norm_in,
-                                                      residual=True)
-
+            if attn1_runs and not serve_int8():
+                # ff_in threads into attn1 as the fused temporal kernel's
+                # GEGLU prologue (raw params; ineligible shapes / CPU
+                # apply it inside Attention — identical math)
+                ffp = FeedForward(dtype=self.dtype,
+                                  param_dtype=self.param_dtype,
+                                  name="ff_in")(hidden_states,
+                                                return_params=True)
+                pre_ff = (norm_in[0], norm_in[1]) + tuple(ffp)
+            else:
+                # is_res: dims equal -> residual folded into the fused kernel
+                hidden_states = FeedForward(dtype=self.dtype,
+                                            param_dtype=self.param_dtype,
+                                            name="ff_in")(hidden_states,
+                                                          pre_ln=norm_in,
+                                                          residual=True)
 
         attn = lambda n: Attention(heads=self.heads, dim_head=self.dim_head,
                                    dtype=self.dtype, param_dtype=self.param_dtype, name=n)
-        if not (ablated("temporal_attn") or ablated("temporal_self")):
+        if attn1_runs:
             # Frame self-attention runs per pixel row with tiny F (14-40):
             # on TPU the attention op dispatches this to the fused temporal
-            # kernel (tvi/ops/pallas_fused_temporal.py) with norm1 and the
-            # residual folded in-kernel (kills two XLA M-passes); the
-            # fallback applies them functionally — identical math.
+            # kernel (tvi/ops/pallas_fused_temporal.py) with ff_in, norm1
+            # and the residual folded in-kernel (kills the ff_in kernel
+            # boundary and two XLA M-passes); the fallback applies them
+            # functionally — identical math.
             from tvi.models.layers import LayerNormParams
 
             norm1 = LayerNormParams(features=hidden_states.shape[-1],
                                     param_dtype=self.param_dtype,
                                     name="norm1")()
             hidden_states = attn("attn1")(
-                hidden_states, pre_ln=norm1, residual_add=True)
+                hidden_states, pre_ln=norm1, residual_add=True,
+                pre_ff=pre_ff)
 
         stats = None
         ff_applied = False

@@ -57,16 +57,17 @@ def _pad_f(f: int) -> int:
 GROUP = 1
 
 
-def _pick_block_r(f: int, c: int, c_out: int, group: int = GROUP) -> int:
+def _pick_block_r(f: int, c: int, c_out: int, group: int = GROUP,
+                  ffin: bool = False) -> int:
     """Largest row block whose working set fits the VMEM budget."""
     for block_r in (512, 256, 128, 64):
-        if _vmem_bytes(block_r, f, c, c_out, group) < 72 * 1024 * 1024:
+        if _vmem_bytes(block_r, f, c, c_out, group, ffin) < 72 * 1024 * 1024:
             return block_r
     return 32
 
 
 def _vmem_bytes(block_r: int, f: int, c: int, c_out: int,
-                group: int = GROUP) -> int:
+                group: int = GROUP, ffin: bool = False) -> int:
     fp = _pad_f(f)
     tile = block_r * fp * c * 2
     qkv = 3 * tile
@@ -74,28 +75,67 @@ def _vmem_bytes(block_r: int, f: int, c: int, c_out: int,
     out = block_r * fp * c_out * 2 * 2
     weights = (3 * c * c + c * c_out) * 2
     logits = block_r * fp * (group * fp) * 4 * 2  # logits + softmax copy
-    return 2 * tile + qkv + acc + out + weights + logits
+    total = 2 * tile + qkv + acc + out + weights + logits
+    if ffin:
+        # t1 scratch + GEGLU weights + bounded fp32 prologue temps
+        total += tile + (c * 8 * c + 4 * c * c) * 2 + 8 * 1024 * 1024
+    return total
 
 
 def _fused_kernel(x_ref, *refs, heads: int, scale: float, f_valid: int,
-                  group: int, with_ln: bool, residual: bool):
+                  group: int, with_ln: bool, residual: bool,
+                  with_ffin: bool = False, ffin_chunk: int = 0):
     """Grouped frame attention: a per-row (Fp, d) x (d, Fp) logits dot is a
     32x32 output with K=64 — 1/16th of the MXU, and Mosaic serializes the
     BR-batched form into thousands of such dots (measured 36 TF/s for the
     whole sublayer).  Instead, ``group`` consecutive rows share ONE
     (G*Fp, d) x (d, G*Fp) MXU-shaped dot and a block-diagonal mask kills
     the cross-row products.  G=8 wastes 8x the attention-core FLOPs (~5% of
-    the kernel's total) to run them at MXU rate instead of 1/16th rate."""
+    the kernel's total) to run them at MXU rate instead of 1/16th rate.
+
+    ``with_ffin``: the block's ff_in (norm_in + GEGLU + out-proj +
+    residual) runs as a chunked prologue into a VMEM scratch — the ff_in
+    output never round-trips HBM before the attention consumes it."""
+    if with_ffin:
+        (fls_ref, flb_ref, fwh_ref, fwg_ref, fbh_ref, fbg_ref, fw2_ref,
+         fb2_ref, *refs) = refs
     if with_ln:
         (lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
-         o_ref) = refs
+         o_ref, *scratch) = refs
     else:
-        wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref = refs
+        wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *scratch = refs
     x = x_ref[:]                                   # (BR, Fp, C)
     br, fp, c = x.shape
     wq, wk, wv, wo = wq_ref[:], wk_ref[:], wv_ref[:], wo_ref[:]
 
     x2 = x.reshape(br * fp, c)                     # sublane-aligned collapse
+    if with_ffin:
+        from tvi.ops.pallas_geglu import _erf
+
+        t1_ref = scratch[0]
+        mmf = functools.partial(jax.lax.dot_general,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+        fls = fls_ref[:].astype(jnp.float32)
+        flb = flb_ref[:].astype(jnp.float32)
+        for ci in range((br * fp) // ffin_chunk):
+            rows = slice(ci * ffin_chunk, (ci + 1) * ffin_chunk)
+            xc = x2[rows]
+            xf = xc.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) \
+                - jnp.square(mean)
+            h_in = ((xf - mean) * jax.lax.rsqrt(var + 1e-5) * fls
+                    + flb).astype(x.dtype)
+            h2 = mmf(h_in, fwh_ref[:]) + fbh_ref[:].astype(jnp.float32)
+            g2 = mmf(h_in, fwg_ref[:]) + fbg_ref[:].astype(jnp.float32)
+            gated = (h2 * (0.5 * g2 * (1.0 + _erf(g2 * 0.7071067811865476)))
+                     ).astype(x.dtype)
+            t1_ref[rows, :] = (mmf(gated, fw2_ref[:])
+                               + fb2_ref[:].astype(jnp.float32)
+                               + xf).astype(t1_ref.dtype)
+        x2 = t1_ref[:]
     if with_ln:
         # norm1 folded in: q/k/v project the normalized rows, the residual
         # epilogue adds the raw ones (TemporalBasicTransformerBlock attn1)
@@ -266,10 +306,30 @@ def fused_temporal_reference(x: jax.Array, lns, lnb, wq: jax.Array,
     return out.astype(x.dtype)
 
 
+def temporal_block_reference(x, fls, flb, lns, lnb, wq, wk, wv, wo, bo,
+                             fwh=None, fb1=None, fw2=None, fb2=None,
+                             heads: int = 1, scale: float = 1.0,
+                             residual: bool = True) -> jax.Array:
+    """ff_in -> [LN + frame attention + residual] reference chain for the
+    with_ffin kernel — backward path + parity oracle."""
+    r, f, c = x.shape
+    if fwh is not None:
+        from tvi.ops.diffable import chunked_ff_reference
+
+        t1 = chunked_ff_reference(x.reshape(r * f, c), fls, flb, fwh, fb1,
+                                  fw2, fb2, residual=True).reshape(r, f, c)
+    else:
+        t1 = x
+    return fused_temporal_reference(t1, lns, lnb, wq, wk, wv, wo, bo,
+                                    heads=heads, scale=scale,
+                                    residual=residual)
+
+
 def fused_temporal_self_attention(x: jax.Array, wq: jax.Array, wk: jax.Array,
                                   wv: jax.Array, wo: jax.Array, bo: jax.Array,
                                   heads: int, scale: float,
                                   lns=None, lnb=None, residual: bool = False,
+                                  ffin_params=None,
                                   block_r: int = 0, group: int = 0,
                                   interpret: bool = False) -> jax.Array:
     """Differentiable wrapper: Pallas forward, reference-XLA backward.
@@ -300,6 +360,23 @@ def fused_temporal_self_attention(x: jax.Array, wq: jax.Array, wk: jax.Array,
                                   scale=scale, residual=residual,
                                   block_r=block_r, group=group,
                                   interpret=interpret)
+    if ffin_params is not None:
+        # ff_in prologue variant (padded-F kernel only; the wrapper caller
+        # gates flat/ineligible shapes to a separate whole-FF kernel)
+        fused_ff = functools.partial(_fused_temporal_fwd, heads=heads,
+                                     scale=scale, residual=residual,
+                                     block_r=block_r, group=group,
+                                     interpret=interpret)
+        ref_ff = functools.partial(temporal_block_reference, heads=heads,
+                                   scale=scale, residual=residual)
+        fls, flb, fw1, fb1, fw2, fb2 = ffin_params
+        return pallas_with_reference_vjp(
+            lambda x_, fls_, flb_, lns_, lnb_, wq_, wk_, wv_, wo_, bo_,
+            fw1_, fb1_, fw2_, fb2_: fused_ff(
+                x_, lns_, lnb_, wq_, wk_, wv_, wo_, bo_,
+                ffin=(fls_, flb_, fw1_, fb1_, fw2_, fb2_)),
+            ref_ff, x, fls, flb, lns, lnb, wq, wk, wv, wo, bo,
+            fw1, fb1, fw2, fb2)
     ref = functools.partial(fused_temporal_reference, heads=heads,
                             scale=scale, residual=residual)
     return pallas_with_reference_vjp(fused, ref, x, lns, lnb, wq, wk, wv,
@@ -358,22 +435,33 @@ def _flat_temporal_fwd(x: jax.Array, lns, lnb, wq: jax.Array, wk: jax.Array,
     return out[:r * f].reshape(r, f, c_out)
 
 
+def _pick_ffin_chunk(rows: int, ff_inner: int) -> int:
+    """Prologue GEGLU row chunk: fp32 h+g temporaries <= ~8 MB."""
+    for nch in (1, 2, 4, 8, 16, 32):
+        if rows % nch == 0 and (rows // nch) * ff_inner * 8 <= 8 * 1024 * 1024:
+            return rows // nch
+    return 0
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "residual",
                                              "block_r", "group", "interpret"))
 def _fused_temporal_fwd(x: jax.Array, lns, lnb, wq: jax.Array, wk: jax.Array,
                         wv: jax.Array, wo: jax.Array, bo: jax.Array,
                         heads: int, scale: float, residual: bool = False,
                         block_r: int = 0, group: int = GROUP,
+                        ffin=None,
                         interpret: bool = False) -> jax.Array:
     """x: (R, F, C); wq/wk/wv: (C, inner); wo: (inner, C_out); bo: (C_out,).
-    Returns to_out(attention([LN](x)@Wq, ...)) [+ x] of shape (R, F, C_out).
-    Rows and frames are zero-padded to tile; padded keys are masked in the
-    kernel, padded query rows/frames sliced off here."""
+    Returns to_out(attention([LN]([ff_in](x))@Wq, ...)) [+ ff_in(x)] of
+    shape (R, F, C_out).  Rows and frames are zero-padded to tile; padded
+    keys are masked in the kernel, padded query rows/frames sliced off
+    here.  ``ffin``: (fls, flb, w1, b1, w2, b2) GEGLU prologue params."""
     r, f, c = x.shape
     c_out = wo.shape[-1]
     with_ln = lns is not None
+    with_ffin = ffin is not None
     if not block_r:
-        block_r = _pick_block_r(f, c, c_out, group)
+        block_r = _pick_block_r(f, c, c_out, group, ffin=with_ffin)
     while block_r % group:
         group //= 2
     fp = _pad_f(f)
@@ -386,9 +474,23 @@ def _fused_temporal_fwd(x: jax.Array, lns, lnb, wq: jax.Array, wk: jax.Array,
 
     w_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
+    ffin_ops = []
+    scratch = []
+    ffin_chunk = 0
+    if with_ffin:
+        fls, flb, fw1, fb1, fw2, fb2 = ffin
+        f_inner = fw2.shape[0]
+        ffin_ops = [fls.reshape(1, c), flb.reshape(1, c),
+                    fw1[:, :f_inner], fw1[:, f_inner:],
+                    fb1[:f_inner].reshape(1, f_inner),
+                    fb1[f_inner:].reshape(1, f_inner),
+                    fw2, fb2.reshape(1, c)]
+        scratch = [pltpu.VMEM((block_r * fp, c), x.dtype)]
+        ffin_chunk = _pick_ffin_chunk(block_r * fp, f_inner)
     kernel = functools.partial(_fused_kernel, heads=heads, scale=scale,
                                f_valid=f, group=group, with_ln=with_ln,
-                               residual=residual)
+                               residual=residual, with_ffin=with_ffin,
+                               ffin_chunk=ffin_chunk)
     ln_ops = [lns.reshape(1, c), lnb.reshape(1, c)] if with_ln else []
     out = pl.pallas_call(
         kernel,
@@ -396,26 +498,45 @@ def _fused_temporal_fwd(x: jax.Array, lns, lnb, wq: jax.Array, wk: jax.Array,
         in_specs=[
             pl.BlockSpec((block_r, fp, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [w_spec((1, c)) for _ in ln_ops] + [
+        ] + [w_spec(a.shape) for a in ffin_ops]
+        + [w_spec((1, c)) for _ in ln_ops] + [
             w_spec(wq.shape), w_spec(wk.shape), w_spec(wv.shape),
             w_spec(wo.shape), w_spec(bo.shape),
         ],
         out_specs=pl.BlockSpec((block_r, fp, c_out), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, fp, c_out), x.dtype),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(100 * 1024 * 1024),
-            dimension_semantics=("parallel",),
+            dimension_semantics=("arbitrary",) if with_ffin else ("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * rp * fp * c * (3 * wq.shape[-1] + c_out)
-            + 4 * rp * heads * fp * (group * fp) * d,
+            + 4 * rp * heads * fp * (group * fp) * d
+            + (2 * rp * fp * c * 3 * (ffin[4].shape[0]) if with_ffin else 0),
             bytes_accessed=2 * rp * fp * (c + c_out) * 2,
             transcendentals=rp * heads * fp * (group * fp),
         ),
         interpret=interpret,
-    )(x, *ln_ops, wq, wk, wv, wo, bo)
+    )(x, *ffin_ops, *ln_ops, wq, wk, wv, wo, bo)
     return out[:r, :f]
+
+
+def fused_temporal_ffin_eligible(r: int, f: int, c: int, inner: int,
+                                 c_out: int, qkv_bias: bool,
+                                 ff_inner: int) -> bool:
+    """ff_in-prologue variant: base eligibility + GEGLU weights <= 20 MB +
+    the chunked prologue fits next to the t1 scratch."""
+    if not fused_temporal_eligible(r, f, c, inner, c_out, qkv_bias):
+        return False
+    if (c * 2 * ff_inner + ff_inner * c) * 2 > 20 * 1024 * 1024:
+        return False
+    block_r = _pick_block_r(f, c, c_out, ffin=True)
+    return (block_r >= 64
+            and _pick_ffin_chunk(block_r * _pad_f(f), ff_inner) > 0
+            and _vmem_bytes(block_r, f, c, c_out,
+                            ffin=True) < 72 * 1024 * 1024)
 
 
 def fused_temporal_eligible(r: int, f: int, c: int, inner: int, c_out: int,
