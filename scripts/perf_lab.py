@@ -1644,3 +1644,48 @@ def check_cross_ff(name, g=4, rpg=4608, c=320, heads=5, s_ctx=3):
 
 
 exp("cross_ff_check")(lambda: check_cross_ff("cross_ff_check"))
+
+
+exp("unet_fwd_noffin")(lambda: bench_unet_fwd(
+    "unet_fwd_noffin", env={"TVI_DISABLE_TEMPORAL_FFIN": "1"}))
+
+
+def check_temporal_ffin(name, r=1024, f=25, c=320, heads=5):
+    """TPU parity: ff_in GEGLU prologue folded into the temporal kernel."""
+    from tvi.ops.pallas_fused_temporal import (
+        fused_temporal_self_attention,
+        temporal_block_reference,
+    )
+
+    inner = c
+    f_inner = 4 * c
+    ks = jax.random.split(jax.random.PRNGKey(0), 12)
+    mk = lambda i, shape, sc=1.0: (jax.random.normal(ks[i], shape, jnp.bfloat16) * sc)
+    x = mk(0, (r, f, c))
+    fls = mk(1, (c,), 0.2) + 1.0
+    flb = mk(2, (c,), 0.2)
+    fw1 = mk(3, (c, 2 * f_inner), c ** -0.5)
+    fb1 = mk(4, (2 * f_inner,), 0.1)
+    fw2 = mk(5, (f_inner, c), f_inner ** -0.5)
+    fb2 = jnp.zeros((c,), jnp.bfloat16)
+    lns = mk(6, (c,), 0.2) + 1.0
+    lnb = mk(7, (c,), 0.2)
+    wq, wk, wv = (mk(8, (c, inner), c ** -0.5), mk(9, (c, inner), c ** -0.5),
+                  mk(10, (c, inner), c ** -0.5))
+    wo = mk(11, (inner, c), inner ** -0.5)
+    bo = jnp.zeros((c,), jnp.bfloat16)
+    got = fused_temporal_self_attention(
+        x, wq, wk, wv, wo, bo, heads=heads, scale=64 ** -0.5,
+        lns=lns, lnb=lnb, residual=True,
+        ffin_params=(fls, flb, fw1, fb1, fw2, fb2))
+    want = temporal_block_reference(x, fls, flb, lns, lnb, wq, wk, wv, wo,
+                                    bo, fw1, fb1, fw2, fb2, heads=heads,
+                                    scale=64 ** -0.5, residual=True)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    ref = float(jnp.max(jnp.abs(want.astype(jnp.float32))))
+    print(f"[{name}] max|err|={err:.5f} max|ref|={ref:.3f} "
+          f"{'OK' if err < 0.05 * max(ref, 1.0) else 'MISMATCH'}", flush=True)
+
+
+exp("temporal_ffin_check")(lambda: check_temporal_ffin("temporal_ffin_check"))
