@@ -1689,3 +1689,46 @@ def check_temporal_ffin(name, r=1024, f=25, c=320, heads=5):
 
 
 exp("temporal_ffin_check")(lambda: check_temporal_ffin("temporal_ffin_check"))
+
+
+exp("unet_fwd_nov5gn")(lambda: bench_unet_fwd(
+    "unet_fwd_nov5gn", env={"TVI_DISABLE_V5_GN": "1"}))
+
+
+def check_v5_gn(name, b=4, s=2304, heads=5, c=320):
+    """TPU parity: GN affine + proj_in + LN + attention in one kernel."""
+    from tvi.ops.groupnorm import group_norm_affine_params
+    from tvi.ops.pallas_attention_v5 import (
+        fused_ln_attention_out,
+        ln_attention_out_reference,
+    )
+
+    inner = heads * 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 9)
+    mk = lambda i, shape, sc=1.0: (jax.random.normal(ks[i], shape, jnp.bfloat16) * sc)
+    x = mk(0, (b, s, c))
+    gs = mk(1, (c,), 0.2) + 1.0
+    gb = mk(2, (c,), 0.2)
+    ga, gab = group_norm_affine_params(x, gs, gb, 32, eps=1e-6)
+    ga, gab = ga[:, None, :], gab[:, None, :]
+    w_in = mk(3, (c, c), c ** -0.5)
+    b_in = mk(4, (c,), 0.1)
+    lns = mk(5, (c,), 0.2) + 1.0
+    lnb = mk(6, (c,), 0.2)
+    wq = mk(7, (c, inner), c ** -0.5)
+    wkv = mk(8, (c, 2 * inner), c ** -0.5)
+    wo = jnp.eye(inner, c, dtype=jnp.bfloat16) * 0.1
+    bo = jnp.zeros((c,), jnp.bfloat16)
+    got = fused_ln_attention_out(x, lns, lnb, wq, wkv, wo, bo, w_in, b_in,
+                                 ga, gab, heads=heads, scale=64 ** -0.5)
+    want = ln_attention_out_reference(x, lns, lnb, wq, wkv, wo, bo, w_in,
+                                      b_in, ga, gab, heads=heads,
+                                      scale=64 ** -0.5)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    ref = float(jnp.max(jnp.abs(want.astype(jnp.float32))))
+    print(f"[{name}] max|err|={err:.5f} max|ref|={ref:.3f} "
+          f"{'OK' if err < 0.05 * max(ref, 1.0) else 'MISMATCH'}", flush=True)
+
+
+exp("v5_check_gn")(lambda: check_v5_gn("v5_check_gn"))

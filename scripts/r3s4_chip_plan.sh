@@ -7,7 +7,7 @@ set -x
 cd "$(dirname "$0")/.."
 
 # 1. TPU parity gates for every session-4 kernel (small programs).
-python scripts/perf_lab.py v5_check v5_check_projin v5_check_576 \
+python scripts/perf_lab.py v5_check v5_check_projin v5_check_576 v5_check_gn \
     temporal_ln_check temporal_ffin_check cross_ff_check \
     2>&1 | tee /tmp/chip_parity.log
 
@@ -15,7 +15,7 @@ python scripts/perf_lab.py v5_check v5_check_projin v5_check_576 \
 #    ladder (each knob isolates one change; nov5_nopacked reproduces the
 #    0d71f72 graph = cache hit = sanity anchor ~1737 ms).
 python scripts/perf_lab.py unet_fwd unet_fwd_nov5 unet_fwd_noprojin \
-    unet_fwd_notemporalln unet_fwd_noffin unet_fwd_nocrossff \
+    unet_fwd_notemporalln unet_fwd_noffin unet_fwd_nocrossff unet_fwd_nov5gn \
     unet_fwd_nov5_nopacked 2>&1 | tee /tmp/chip_ab.log
 
 # 3. Isolated v5 rates (informational).

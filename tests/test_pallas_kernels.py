@@ -743,6 +743,43 @@ class TestLnAttentionOutV5:
         assert ln_attention_out_eligible(50, 576, 1280, 1280, 1280, 20)
         assert not ln_attention_out_eligible(50, 9216, 320, 320, 320, 4)
 
+    def test_gn_in_proj_variant(self, rng):
+        """GroupNorm affine + proj_in + LN + attention in one kernel vs the
+        XLA composition GN -> proj -> LN -> attn -> out + xp residual."""
+        from tvi.models.layers import layer_norm
+        from tvi.ops.groupnorm import group_norm_affine_params
+        from tvi.ops.pallas_attention_out import attention_out_reference
+        from tvi.ops.pallas_attention_v5 import fused_ln_attention_out
+        b, s, c, heads = 2, 512, 128, 2
+        inner = heads * 64
+        ks = jax.random.split(rng, 9)
+        x = jax.random.normal(ks[0], (b, s, c))
+        gs = jax.random.normal(ks[1], (c,)) * 0.2 + 1.0
+        gb = jax.random.normal(ks[2], (c,)) * 0.2
+        ga, gab = group_norm_affine_params(x, gs, gb, 4, eps=1e-6)
+        w_in = jax.random.normal(ks[3], (c, c)) * c ** -0.5
+        b_in = jax.random.normal(ks[4], (c,)) * 0.1
+        lns = jax.random.normal(ks[5], (c,)) * 0.2 + 1.0
+        lnb = jnp.zeros((c,))
+        wq = jax.random.normal(ks[6], (c, inner)) * c ** -0.5
+        wkv = jax.random.normal(ks[7], (c, 2 * inner)) * c ** -0.5
+        wo = jax.random.normal(ks[8], (inner, c)) * inner ** -0.5
+        bo = jnp.zeros((c,))
+        scale = 64 ** -0.5
+
+        got = fused_ln_attention_out(x, lns, lnb, wq, wkv, wo, bo, w_in,
+                                     b_in, ga[:, None, :], gab[:, None, :],
+                                     heads=heads, scale=scale, block_q=128,
+                                     interpret=True)
+        xg = x * ga[:, None, :] + gab[:, None, :]
+        xp = xg @ w_in + b_in
+        xn = layer_norm(xp, lns, lnb)
+        want = attention_out_reference(xn @ wq, xn @ wkv[:, :inner],
+                                       xn @ wkv[:, inner:], xp, wo, bo,
+                                       heads=heads, scale=scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-4, rtol=3e-4)
+
     def test_dispatch_through_attention_module(self, rng, monkeypatch):
         """Force the flash path with the v5 kernel in interpret mode and
         compare against the pure-XLA Attention path (flash disabled) —

@@ -445,6 +445,7 @@ class Attention(nn.Module):
         pre_ln: Optional[Tuple[jax.Array, jax.Array]] = None,
         residual_add: bool = False,
         in_proj: Optional[Tuple[jax.Array, jax.Array]] = None,
+        in_gn: Optional[Tuple[jax.Array, jax.Array]] = None,
         post_ff: Optional[Tuple] = None,
         pre_ff: Optional[Tuple] = None,
     ):
@@ -522,9 +523,18 @@ class Attention(nn.Module):
                     bsz * seq, cdim, inner, out_features,
                     encoder_hidden_states.shape[1], rpg, residual_add))
 
+        def _apply_in_gn(x):
+            # the caller's GroupNorm as a precomputed per-instance affine
+            # (tvi/ops/groupnorm.py::group_norm_affine_params)
+            a, b_ = in_gn
+            return (x.astype(jnp.float32) * a + b_).astype(self.dtype)
+
         if in_proj is not None and os.environ.get("TVI_DISABLE_V5_PROJIN"):
             # A/B knob: keep v5 but apply proj_in as a standalone XLA pass
             w_in, b_in = in_proj
+            if in_gn is not None:
+                hidden_states = _apply_in_gn(hidden_states)
+                in_gn = None
             hidden_states = (hidden_states.astype(self.dtype)
                              @ w_in.astype(self.dtype)
                              + b_in.astype(self.dtype))
@@ -625,6 +635,9 @@ class Attention(nn.Module):
             # applied functionally when the v5 kernel can't absorb it;
             # identical math to the MaybeQuantDense apply it replaces
             w_in, b_in = in_proj
+            if in_gn is not None:
+                hidden_states = _apply_in_gn(hidden_states)
+                in_gn = None
             hidden_states = (hidden_states.astype(self.dtype)
                              @ w_in.astype(self.dtype)
                              + b_in.astype(self.dtype))
@@ -672,13 +685,15 @@ class Attention(nn.Module):
             from tvi.ops.pallas_attention_v5 import fused_ln_attention_out
 
             wkv_cat = jnp.concatenate([wk, wv], axis=1)
-            w_in = b_in = None
+            w_in = b_in = gn_a = gn_b = None
             if in_proj is not None:
                 w_in = in_proj[0].astype(self.dtype)
                 b_in = in_proj[1].astype(self.dtype)
+                if in_gn is not None:
+                    gn_a, gn_b = in_gn
             return fused_ln_attention_out(
                 hidden_states, pre_ln[0], pre_ln[1], wq, wkv_cat, wo, bo,
-                w_in, b_in,
+                w_in, b_in, gn_a, gn_b,
                 heads=self.heads, scale=self.dim_head ** -0.5, eps=1e-5,
                 residual=True)
 

@@ -53,14 +53,18 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, hidden_states, encoder_hidden_states=None,
-                 in_proj=None):
+                 in_proj=None, in_gn=None):
         ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                     param_dtype=self.param_dtype, name=n)
         attn = lambda n: Attention(heads=self.heads, dim_head=self.dim_head,
                                    dtype=self.dtype, param_dtype=self.param_dtype, name=n)
         if in_proj is not None and ablated("spatial_attn"):
-            # attn1 normally absorbs the caller's proj_in; under the
-            # ablation knob apply it functionally so shapes stay correct
+            # attn1 normally absorbs the caller's GN-affine + proj_in;
+            # under the ablation knob apply them functionally
+            if in_gn is not None:
+                hidden_states = (hidden_states.astype(jnp.float32) * in_gn[0]
+                                 + in_gn[1]).astype(self.dtype)
+                in_gn = None
             hidden_states = (hidden_states.astype(self.dtype)
                              @ in_proj[0].astype(self.dtype)
                              + in_proj[1].astype(self.dtype))
@@ -83,7 +87,7 @@ class BasicTransformerBlock(nn.Module):
             # adds it functionally — identical math)
             hidden_states = attn("attn1")(
                 hidden_states, pre_ln=norm1, residual_add=True,
-                in_proj=in_proj)
+                in_proj=in_proj, in_gn=in_gn)
             if self.cross_attention:
                 from tvi.models.layers import serve_int8
 
@@ -269,26 +273,48 @@ class TransformerSpatioTemporalModel(nn.Module):
         s_ctx = jnp.repeat(spatial_ctx, num_frames, axis=0)
 
         residual = hidden_states
-        from tvi.models.layers import FusedGroupNorm
+        import os
 
-        hidden_states = FusedGroupNorm(num_groups=gn_groups(channels), epsilon=1e-6,
-                                       dtype=self.dtype,
-                                       param_dtype=self.param_dtype, name="norm")(hidden_states)
-        from tvi.models.layers import MaybeQuantDense
+        from tvi.models.layers import FusedGroupNorm, MaybeQuantDense
+        from tvi.ops.attention import _flash_enabled
 
-        hidden_states = hidden_states.reshape(bf, height * width, channels)
+        gn_mod = FusedGroupNorm(num_groups=gn_groups(channels), epsilon=1e-6,
+                                dtype=self.dtype,
+                                param_dtype=self.param_dtype, name="norm")
         proj_in = MaybeQuantDense(inner_dim, dtype=self.dtype,
                                   param_dtype=self.param_dtype,
                                   name="proj_in")
+        in_gn = None
         if serve_int8():
+            hidden_states = gn_mod(hidden_states)
+            hidden_states = hidden_states.reshape(bf, height * width,
+                                                  channels)
             hidden_states = proj_in(hidden_states)
             in_proj = None
+        elif (_flash_enabled()
+              and not os.environ.get("TVI_DISABLE_V5_GN")):
+            # TPU: the GN APPLY pass folds into the v5 kernel's proj_in
+            # prologue as a precomputed per-instance affine (the cheap
+            # stats reduction stays in XLA); a Pallas consumer cannot
+            # absorb an XLA producer fusion, so without this the apply
+            # pass would materialize before the kernel.
+            from tvi.ops.groupnorm import group_norm_affine_params
+
+            gs, gb = gn_mod(hidden_states, return_params=True)
+            ga, gab = group_norm_affine_params(hidden_states, gs, gb,
+                                               gn_groups(channels), eps=1e-6)
+            in_gn = (ga[:, None, :], gab[:, None, :])     # (B*F, 1, C)
+            hidden_states = hidden_states.reshape(bf, height * width,
+                                                  channels)
+            in_proj = proj_in(hidden_states, return_params=True)
         else:
-            # hand proj_in's raw weights to the first spatial block: the
-            # TPU v5 kernel absorbs the projection (one in-kernel dot into
-            # the xp scratch instead of a standalone M-pass over HBM);
-            # ineligible shapes / CPU apply it functionally inside
-            # Attention — identical math, identical param tree.
+            # CPU / opt-out: bit-identical classic GN apply; proj_in's raw
+            # weights still thread to the first spatial block (the v5
+            # kernel absorbs the projection; ineligible shapes apply it
+            # functionally inside Attention — identical math, same tree).
+            hidden_states = gn_mod(hidden_states)
+            hidden_states = hidden_states.reshape(bf, height * width,
+                                                  channels)
             in_proj = proj_in(hidden_states, return_params=True)
 
         # frame-position embedding (transformer_temporal.py:309-316)
@@ -311,7 +337,8 @@ class TransformerSpatioTemporalModel(nn.Module):
                 heads=self.heads, dim_head=self.dim_head,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"transformer_blocks_{layer}",
-            )(hidden_states, s_ctx, in_proj=in_proj if layer == 0 else None)
+            )(hidden_states, s_ctx, in_proj=in_proj if layer == 0 else None,
+              in_gn=in_gn if layer == 0 else None)
 
             # spatial -> temporal layout: (B*F, S, C) -> (B*S, F, C)
             mix = hidden_states + emb

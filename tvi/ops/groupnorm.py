@@ -83,3 +83,20 @@ def group_norm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array,
     if apply_silu:
         y = y * jax.nn.sigmoid(y)
     return y.astype(x.dtype)
+
+
+def group_norm_affine_params(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                             num_groups: int, eps: float = 1e-5):
+    """Per-instance affine form of GroupNorm: returns fp32 (a, b) of shape
+    (N, C) with  GN(x) == x * a + b  (a = rstd * gamma broadcast over the
+    group, b = beta - mean * a).  Used to fold the GN APPLY pass into a
+    Pallas consumer (the v5 spatial kernel's proj_in prologue) while the
+    cheap stats reduction stays in XLA."""
+    c = x.shape[-1]
+    cg = c // num_groups
+    mean, var = group_norm_stats(x, num_groups)
+    rstd = jax.lax.rsqrt(var + eps)                      # (N, G)
+    a = jnp.repeat(rstd, cg, axis=-1) * scale.astype(jnp.float32)[None]
+    b = (bias.astype(jnp.float32)[None]
+         - jnp.repeat(mean, cg, axis=-1) * a)
+    return a, b

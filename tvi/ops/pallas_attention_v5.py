@@ -75,10 +75,17 @@ def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def _v5_kernel(*refs, heads: int, scale: float, eps: float, residual: bool,
-               kv_chunk: int, in_proj: bool, block_q: int):
+               kv_chunk: int, in_proj: bool, block_q: int,
+               with_gn: bool = False):
+    ga_ref = gb_ref = None
     if in_proj:
-        (x_ref, lns_ref, lnb_ref, wq_ref, wkv_ref, wo_ref, bo_ref, win_ref,
-         bin_ref, o_ref, kv_ref, kn_ref, xp_ref) = refs
+        if with_gn:
+            (x_ref, lns_ref, lnb_ref, wq_ref, wkv_ref, wo_ref, bo_ref,
+             win_ref, bin_ref, ga_ref, gb_ref, o_ref, kv_ref, kn_ref,
+             xp_ref) = refs
+        else:
+            (x_ref, lns_ref, lnb_ref, wq_ref, wkv_ref, wo_ref, bo_ref,
+             win_ref, bin_ref, o_ref, kv_ref, kn_ref, xp_ref) = refs
     else:
         (x_ref, xq_ref, lns_ref, lnb_ref, wq_ref, wkv_ref, wo_ref, bo_ref,
          o_ref, kv_ref, kn_ref) = refs
@@ -103,6 +110,11 @@ def _v5_kernel(*refs, heads: int, scale: float, eps: float, residual: bool,
             rows = slice(ci * kv_chunk, (ci + 1) * kv_chunk)
             if in_proj:
                 xc = x_ref[0, rows, :]
+                if with_gn:
+                    # GroupNorm APPLY folded in (stats precomputed XLA-side
+                    # as a per-(batch, channel) affine): xc*a + b == GN(xc)
+                    xc = (xc.astype(jnp.float32) * ga_ref[0]
+                          + gb_ref[0]).astype(xc.dtype)
                 xpc = (_dot(xc, win_ref[:])
                        + bin_ref[:].astype(jnp.float32)).astype(xp_ref.dtype)
                 xp_ref[rows, :] = xpc           # bf16 round-trip == XLA path
@@ -162,14 +174,19 @@ def _v5_kernel(*refs, heads: int, scale: float, eps: float, residual: bool,
 def ln_attention_out_reference(x: jax.Array, lns: jax.Array, lnb: jax.Array,
                                wq: jax.Array, wkv: jax.Array, wo: jax.Array,
                                bo: jax.Array, w_in=None, b_in=None,
+                               gn_a=None, gn_b=None,
                                heads: int = 1, scale: float = 1.0,
                                eps: float = 1e-5,
                                residual: bool = True) -> jax.Array:
-    """Pure-XLA math of _v5_kernel — backward path + parity oracle."""
+    """Pure-XLA math of _v5_kernel — backward path + parity oracle.
+    ``gn_a``/``gn_b``: (B, 1, C) per-instance GroupNorm affine applied
+    before the input projection."""
     from tvi.models.layers import layer_norm
     from tvi.ops.diffable import chunked_attention_out_reference
 
     inner = wq.shape[-1]
+    if gn_a is not None:
+        x = (x.astype(jnp.float32) * gn_a + gn_b).astype(x.dtype)
     if w_in is not None:
         x = (jnp.einsum("bsc,ci->bsi", x, w_in.astype(x.dtype),
                         preferred_element_type=jnp.float32)
@@ -187,6 +204,7 @@ def ln_attention_out_reference(x: jax.Array, lns: jax.Array, lnb: jax.Array,
 def fused_ln_attention_out(x: jax.Array, lns: jax.Array, lnb: jax.Array,
                            wq: jax.Array, wkv: jax.Array, wo: jax.Array,
                            bo: jax.Array, w_in=None, b_in=None,
+                           gn_a=None, gn_b=None,
                            heads: int = 1, scale: float = 1.0,
                            eps: float = 1e-5, residual: bool = True,
                            block_q: int = 0,
@@ -201,7 +219,7 @@ def fused_ln_attention_out(x: jax.Array, lns: jax.Array, lnb: jax.Array,
     ref = functools.partial(ln_attention_out_reference, heads=heads,
                             scale=scale, eps=eps, residual=residual)
     return pallas_with_reference_vjp(fused, ref, x, lns, lnb, wq, wkv, wo,
-                                     bo, w_in, b_in)
+                                     bo, w_in, b_in, gn_a, gn_b)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "eps",
@@ -210,12 +228,14 @@ def fused_ln_attention_out(x: jax.Array, lns: jax.Array, lnb: jax.Array,
 def _fused_ln_attention_out_fwd(x: jax.Array, lns: jax.Array, lnb: jax.Array,
                                 wq: jax.Array, wkv: jax.Array, wo: jax.Array,
                                 bo: jax.Array, w_in=None, b_in=None,
+                                gn_a=None, gn_b=None,
                                 heads: int = 1, scale: float = 1.0,
                                 eps: float = 1e-5, residual: bool = True,
                                 block_q: int = 0,
                                 interpret: bool = False) -> jax.Array:
     b, s, c_in = x.shape
     in_proj = w_in is not None
+    with_gn = gn_a is not None
     c = w_in.shape[-1] if in_proj else c_in
     inner = wq.shape[-1]
     c_out = wo.shape[-1]
@@ -226,7 +246,8 @@ def _fused_ln_attention_out_fwd(x: jax.Array, lns: jax.Array, lnb: jax.Array,
     grid = (b, s // block_q)
     kernel = functools.partial(_v5_kernel, heads=heads, scale=scale, eps=eps,
                                residual=residual, kv_chunk=kv_chunk,
-                               in_proj=in_proj, block_q=block_q)
+                               in_proj=in_proj, block_q=block_q,
+                               with_gn=with_gn)
     const = lambda shape: pl.BlockSpec(shape, lambda bi, i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     # whole-batch x: constant index per b -> fetched once, resident
@@ -244,6 +265,12 @@ def _fused_ln_attention_out_fwd(x: jax.Array, lns: jax.Array, lnb: jax.Array,
     if in_proj:
         in_specs += [const(w_in.shape), const((1, c))]
         operands += [w_in, b_in.reshape(1, c)]
+        if with_gn:
+            # per-batch GN affine rows: block (1, 1, C_in) at (bi, 0, 0)
+            in_specs += [pl.BlockSpec((1, 1, c_in), lambda bi, i: (bi, 0, 0),
+                                      memory_space=pltpu.VMEM)] * 2
+            operands += [gn_a.astype(jnp.float32),
+                         gn_b.astype(jnp.float32)]
     scratch = [
         pltpu.VMEM((s_pad, 2 * inner), x.dtype),        # K | V (padded)
         pltpu.VMEM((1, 128), jnp.float32),              # max ||k|| / head
