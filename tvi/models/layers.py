@@ -423,6 +423,20 @@ class Attention(nn.Module):
     temporal blocks' (B*H*W, F, C) layout) dispatches on TPU to the fused
     QKV+attention+out-projection kernel (tvi/ops/pallas_fused_temporal.py),
     which keeps the whole sublayer's intermediates in VMEM.
+
+    On the TPU serving path the caller can hand in neighbouring sublayers
+    as raw params and this module folds them into the attention kernels
+    (each with a functional fallback of identical math):
+
+    - ``pre_ln`` + ``residual_add``: LayerNorm + sublayer residual (v5
+      spatial kernel / fused temporal kernel / fused cross kernel).
+    - ``in_proj`` (+ ``in_gn``): the spatial transformer's proj_in (and
+      GroupNorm apply, as a precomputed per-instance affine) as the v5
+      kernel's prologue.
+    - ``pre_ff``: the temporal block's ff_in GEGLU sublayer as the fused
+      temporal kernel's prologue.
+    - ``post_ff``: the block's norm3 + GEGLU FF as the fused cross
+      kernel's epilogue.
     """
 
     heads: int
