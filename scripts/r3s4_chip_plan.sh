@@ -31,3 +31,8 @@ python bench.py 2>&1 | tee /tmp/chip_bench.log
 #    TVI_DISABLE_TEMPORAL_FFIN=1 python bench.py
 #    TVI_DISABLE_TEMPORAL_LN=1 python bench.py
 #    then flip the confirmed losers to opt-in in code and re-bench.
+
+# 6. Full-size train-step probe (the session-4 kernels changed the
+#    backward graph: chunked-reference VJPs for v5/ffin/cross+FF) — verify
+#    the 512x320x14f batch-2 AdamW step still fits and time it.
+timeout 3000 python scripts/train_step_probe.py 2>&1 | tee /tmp/chip_train.log
