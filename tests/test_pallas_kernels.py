@@ -292,9 +292,12 @@ class TestFusedTemporalSelfAttention:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-4, rtol=3e-4)
 
-    def test_ffin_prologue(self, rng):
+    @pytest.mark.parametrize("flat", ["0", "1"])
+    def test_ffin_prologue(self, rng, flat, monkeypatch):
         """ff_in (norm_in + GEGLU + residual) folded as the kernel's
-        prologue vs the unfused ff_in -> LN -> attention -> residual chain."""
+        prologue vs the unfused ff_in -> LN -> attention -> residual chain
+        (both the padded-F and flat-F kernel variants)."""
+        monkeypatch.setenv("TVI_TEMPORAL_FLAT", flat)
         from tvi.models.layers import layer_norm
         from tvi.ops.pallas_fused_ff import fused_ff_reference
         from tvi.ops.pallas_fused_temporal import (

@@ -627,8 +627,7 @@ class Attention(nn.Module):
         # ff_in folded as the fused temporal kernel's GEGLU prologue
         fused_temporal_ffin_ok = False
         if (pre_ff is not None and fused_temporal_ln_ok
-                and not os.environ.get("TVI_DISABLE_TEMPORAL_FFIN")
-                and not os.environ.get("TVI_TEMPORAL_FLAT") == "1"):
+                and not os.environ.get("TVI_DISABLE_TEMPORAL_FFIN")):
             from tvi.ops.pallas_fused_temporal import (
                 fused_temporal_ffin_eligible,
             )

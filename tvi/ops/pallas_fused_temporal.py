@@ -195,22 +195,56 @@ def _fused_kernel(x_ref, *refs, heads: int, scale: float, f_valid: int,
 
 
 def _flat_kernel(x_ref, *refs, heads: int, scale: float, f: int,
-                 with_ln: bool, residual: bool):
+                 with_ln: bool, residual: bool, with_ffin: bool = False,
+                 ffin_chunk: int = 0):
     """Flat-F variant: the block is P whole pixels x F frames = (BM, C)
     rows with NO frame padding (the collapsed (BR,F,C)->(BR*F,C) reshape
     of _fused_kernel needs F % 16; flat blocks only need BM % 8, so F=25
     streams 25 rows/pixel instead of 32 — a 28% M-traffic saving).  Each
     head runs ONE (BM, d) x (d, BM) logits dot; an F-block-diagonal mask
     kills cross-pixel products; the out-projection is one full-K dot on
-    the lane-concat of head outputs."""
+    the lane-concat of head outputs.
+
+    ``with_ffin``: ff_in GEGLU prologue into a t1 scratch (see
+    _fused_kernel) — the flat layout needs no frame padding."""
+    if with_ffin:
+        (fls_ref, flb_ref, fwh_ref, fwg_ref, fbh_ref, fbg_ref, fw2_ref,
+         fb2_ref, *refs) = refs
     if with_ln:
         (lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
-         o_ref) = refs
+         o_ref, *scratch) = refs
     else:
-        wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref = refs
+        wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *scratch = refs
     x2 = x_ref[:]                                   # (BM, C)
     bm = x2.shape[0]
     wq, wk, wv, wo = wq_ref[:], wk_ref[:], wv_ref[:], wo_ref[:]
+    if with_ffin:
+        from tvi.ops.pallas_geglu import _erf
+
+        t1_ref = scratch[0]
+        mmf = functools.partial(jax.lax.dot_general,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+        fls = fls_ref[:].astype(jnp.float32)
+        flb = flb_ref[:].astype(jnp.float32)
+        for ci in range(bm // ffin_chunk):
+            rows = slice(ci * ffin_chunk, (ci + 1) * ffin_chunk)
+            xc = x2[rows]
+            xf = xc.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) \
+                - jnp.square(mean)
+            h_in = ((xf - mean) * jax.lax.rsqrt(var + 1e-5) * fls
+                    + flb).astype(x2.dtype)
+            h2 = mmf(h_in, fwh_ref[:]) + fbh_ref[:].astype(jnp.float32)
+            g2 = mmf(h_in, fwg_ref[:]) + fbg_ref[:].astype(jnp.float32)
+            gated = (h2 * (0.5 * g2 * (1.0 + _erf(g2 * 0.7071067811865476)))
+                     ).astype(x2.dtype)
+            t1_ref[rows, :] = (mmf(gated, fw2_ref[:])
+                               + fb2_ref[:].astype(jnp.float32)
+                               + xf).astype(t1_ref.dtype)
+        x2 = t1_ref[:]
     if with_ln:
         xf = x2.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -361,12 +395,20 @@ def fused_temporal_self_attention(x: jax.Array, wq: jax.Array, wk: jax.Array,
                                   block_r=block_r, group=group,
                                   interpret=interpret)
     if ffin_params is not None:
-        # ff_in prologue variant (padded-F kernel only; the wrapper caller
-        # gates flat/ineligible shapes to a separate whole-FF kernel)
-        fused_ff = functools.partial(_fused_temporal_fwd, heads=heads,
-                                     scale=scale, residual=residual,
-                                     block_r=block_r, group=group,
-                                     interpret=interpret)
+        # ff_in prologue variant (flat or padded follows the same dispatch
+        # as above; ineligible shapes fall back to a separate whole-FF
+        # kernel at the caller)
+        if use_flat and x.shape[0] >= _pick_flat_pixels(f, x.shape[2],
+                                                        wo.shape[-1]):
+            fused_base = functools.partial(_flat_temporal_fwd, heads=heads,
+                                           scale=scale, residual=residual,
+                                           interpret=interpret)
+        else:
+            fused_base = functools.partial(_fused_temporal_fwd, heads=heads,
+                                           scale=scale, residual=residual,
+                                           block_r=block_r, group=group,
+                                           interpret=interpret)
+        fused_ff = fused_base
         ref_ff = functools.partial(temporal_block_reference, heads=heads,
                                    scale=scale, residual=residual)
         fls, flb, fw1, fb1, fw2, fb2 = ffin_params
@@ -388,6 +430,7 @@ def fused_temporal_self_attention(x: jax.Array, wq: jax.Array, wk: jax.Array,
 def _flat_temporal_fwd(x: jax.Array, lns, lnb, wq: jax.Array, wk: jax.Array,
                        wv: jax.Array, wo: jax.Array, bo: jax.Array,
                        heads: int, scale: float, residual: bool = False,
+                       ffin=None,
                        interpret: bool = False) -> jax.Array:
     """Flat-F dispatch: x (R, F, C) -> (R*F, C) with whole-pixel blocks
     (see _flat_kernel).  R is zero-padded to the per-program pixel count;
@@ -395,6 +438,7 @@ def _flat_temporal_fwd(x: jax.Array, lns, lnb, wq: jax.Array, wk: jax.Array,
     r, f, c = x.shape
     c_out = wo.shape[-1]
     with_ln = lns is not None
+    with_ffin = ffin is not None
     p = _pick_flat_pixels(f, c, c_out)
     pad_r = (-r) % p
     if pad_r:
@@ -405,33 +449,50 @@ def _flat_temporal_fwd(x: jax.Array, lns, lnb, wq: jax.Array, wk: jax.Array,
     grid = (rp // p,)
     w_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
+    ffin_ops = []
+    scratch = []
+    ffin_chunk = 0
+    if with_ffin:
+        fls, flb, fw1, fb1, fw2, fb2 = ffin
+        f_inner = fw2.shape[0]
+        ffin_ops = [fls.reshape(1, c), flb.reshape(1, c),
+                    fw1[:, :f_inner], fw1[:, f_inner:],
+                    fb1[:f_inner].reshape(1, f_inner),
+                    fb1[f_inner:].reshape(1, f_inner),
+                    fw2, fb2.reshape(1, c)]
+        scratch = [pltpu.VMEM((bm, c), x.dtype)]
+        ffin_chunk = _pick_ffin_chunk(bm, f_inner)
     kernel = functools.partial(_flat_kernel, heads=heads, scale=scale, f=f,
-                               with_ln=with_ln, residual=residual)
+                               with_ln=with_ln, residual=residual,
+                               with_ffin=with_ffin, ffin_chunk=ffin_chunk)
     ln_ops = [lns.reshape(1, c), lnb.reshape(1, c)] if with_ln else []
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ] + [w_spec((1, c)) for _ in ln_ops] + [
+        ] + [w_spec(a.shape) for a in ffin_ops]
+        + [w_spec((1, c)) for _ in ln_ops] + [
             w_spec(wq.shape), w_spec(wk.shape), w_spec(wv.shape),
             w_spec(wo.shape), w_spec(bo.reshape(1, c_out).shape),
         ],
         out_specs=pl.BlockSpec((bm, c_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp * f, c_out), x.dtype),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(100 * 1024 * 1024),
-            dimension_semantics=("parallel",),
+            dimension_semantics=("arbitrary",) if with_ffin else ("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * rp * f * c * (3 * wq.shape[-1] + c_out)
-            + 4 * rp * heads * f * bm * (wq.shape[-1] // heads),
+            + 4 * rp * heads * f * bm * (wq.shape[-1] // heads)
+            + (2 * rp * f * c * 3 * ffin[4].shape[0] if with_ffin else 0),
             bytes_accessed=2 * rp * f * (c + c_out) * 2,
             transcendentals=rp * heads * f * bm,
         ),
         interpret=interpret,
-    )(x2, *ln_ops, wq, wk, wv, wo, bo.reshape(1, c_out))
+    )(x2, *ffin_ops, *ln_ops, wq, wk, wv, wo, bo.reshape(1, c_out))
     return out[:r * f].reshape(r, f, c_out)
 
 
