@@ -144,8 +144,29 @@ def main():
         "decode_s": round(decode_time, 4),
         "device": str(dev),
     }
+    disabled = sorted(k for k in _SESSION4_KNOBS if os.environ.get(k))
+    if disabled:
+        result["disabled_kernels"] = disabled
     print(json.dumps(result))
 
 
+# kill switches for the newest kernel generation: if the default stack ever
+# fails on real hardware (a fresh Mosaic construct the CPU interpret tests
+# can't validate), the bench falls back to the previously chip-validated
+# configuration instead of recording nothing.
+_SESSION4_KNOBS = (
+    "TVI_DISABLE_ATTN_V5", "TVI_DISABLE_V5_PROJIN", "TVI_DISABLE_V5_GN",
+    "TVI_DISABLE_TEMPORAL_LN", "TVI_DISABLE_TEMPORAL_FFIN",
+    "TVI_DISABLE_CROSS_FF",
+)
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — any failure: retry conservative
+        print(f"[bench] default config failed ({type(e).__name__}: {e}); "
+              "retrying with the newest kernels disabled", file=sys.stderr)
+        for k in _SESSION4_KNOBS:
+            os.environ[k] = "1"
+        main()
