@@ -54,8 +54,6 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, hidden_states, encoder_hidden_states=None,
                  in_proj=None, in_gn=None):
-        ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                                    param_dtype=self.param_dtype, name=n)
         attn = lambda n: Attention(heads=self.heads, dim_head=self.dim_head,
                                    dtype=self.dtype, param_dtype=self.param_dtype, name=n)
         if in_proj is not None and ablated("spatial_attn"):
@@ -147,8 +145,6 @@ class TemporalBasicTransformerBlock(nn.Module):
         temporal_bias: Optional[jax.Array] = None,  # (F, S_ctx) additive
         want_stats: bool = False,
     ):
-        ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                                    param_dtype=self.param_dtype, name=n)
         attn1_runs = not (ablated("temporal_attn") or ablated("temporal_self"))
         pre_ff = None
         if not ablated("ff"):

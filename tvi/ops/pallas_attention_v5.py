@@ -27,6 +27,11 @@ reference transformer_temporal.py:306-318): q-block 0 projects the raw
 (S, C_in) input once into an xp VMEM scratch (bf16, bit-matching the XLA
 path's bf16 proj_in output), and the attention consumes/residuals xp — the
 standalone proj_in M-pass disappears for the cost of one in-kernel dot.
+With ``gn_a``/``gn_b`` the transformer's GroupNorm APPLY folds in as well,
+as a precomputed per-(batch, channel) affine (stats stay in XLA —
+tvi/ops/groupnorm.py::group_norm_affine_params): a Pallas consumer cannot
+absorb an XLA producer fusion, so without this the GN apply would
+materialize as its own pass in front of the kernel.
 
 HBM traffic per sublayer drops from read x + [proj_in write/read] + LN
 write/read + qkv write/read + q-block reads + x_res read + out write to
