@@ -84,7 +84,8 @@ def _vmem_bytes(block_r: int, f: int, c: int, c_out: int,
 
 def _fused_kernel(x_ref, *refs, heads: int, scale: float, f_valid: int,
                   group: int, with_ln: bool, residual: bool,
-                  with_ffin: bool = False, ffin_chunk: int = 0):
+                  with_ffin: bool = False, ffin_chunk: int = 0,
+                  fp_pad: int = 0):
     """Grouped frame attention: a per-row (Fp, d) x (d, Fp) logits dot is a
     32x32 output with K=64 — 1/16th of the MXU, and Mosaic serializes the
     BR-batched form into thousands of such dots (measured 36 TF/s for the
@@ -104,8 +105,15 @@ def _fused_kernel(x_ref, *refs, heads: int, scale: float, f_valid: int,
          o_ref, *scratch) = refs
     else:
         wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *scratch = refs
-    x = x_ref[:]                                   # (BR, Fp, C)
-    br, fp, c = x.shape
+    x = x_ref[:]                                   # (BR, F or Fp, C)
+    br, f_in, c = x.shape
+    fp = fp_pad or f_in
+    if f_in != fp:
+        # in-kernel frame padding: the HBM block streams only the real F
+        # frames (the (…, F, C) trailing block dims equal the array dims,
+        # which Mosaic allows) — the 16-sublane zero-pad lives in VMEM only
+        x = jnp.concatenate(
+            [x, jnp.zeros((br, fp - f_in, c), x.dtype)], axis=1)
     wq, wk, wv, wo = wq_ref[:], wk_ref[:], wv_ref[:], wo_ref[:]
 
     x2 = x.reshape(br * fp, c)                     # sublane-aligned collapse
@@ -191,7 +199,9 @@ def _fused_kernel(x_ref, *refs, heads: int, scale: float, f_valid: int,
     acc = acc + bo_ref[:].astype(jnp.float32)[None, :]
     if residual:
         acc = acc + x2.astype(jnp.float32)
-    o_ref[:] = acc.reshape(br, fp, wo.shape[-1]).astype(o_ref.dtype)
+    out3 = acc.reshape(br, fp, wo.shape[-1]).astype(o_ref.dtype)
+    # write only the real frames (padded query frames never leave VMEM)
+    o_ref[:] = out3 if o_ref.shape[1] == fp else out3[:, :o_ref.shape[1], :]
 
 
 def _flat_kernel(x_ref, *refs, heads: int, scale: float, f: int,
@@ -384,6 +394,10 @@ def fused_temporal_self_attention(x: jax.Array, wq: jax.Array, wk: jax.Array,
     flat_env = os.environ.get("TVI_TEMPORAL_FLAT", "")
     f = x.shape[1]
     use_flat = flat_env == "1"
+    # in-kernel frame padding (default): HBM blocks stream only the real F
+    # frames; =0 restores XLA-side padding for A/B.  Resolved HERE at call
+    # time and passed as a static arg (never read inside the jitted fn).
+    ik_pad = os.environ.get("TVI_TEMPORAL_INKERNEL_PAD", "1") != "0"
     if use_flat and x.shape[0] >= _pick_flat_pixels(f, x.shape[2],
                                                     wo.shape[-1]):
         fused = functools.partial(_flat_temporal_fwd, heads=heads,
@@ -393,6 +407,7 @@ def fused_temporal_self_attention(x: jax.Array, wq: jax.Array, wk: jax.Array,
         fused = functools.partial(_fused_temporal_fwd, heads=heads,
                                   scale=scale, residual=residual,
                                   block_r=block_r, group=group,
+                                  inkernel_pad=ik_pad,
                                   interpret=interpret)
     if ffin_params is not None:
         # ff_in prologue variant (flat or padded follows the same dispatch
@@ -407,6 +422,7 @@ def fused_temporal_self_attention(x: jax.Array, wq: jax.Array, wk: jax.Array,
             fused_base = functools.partial(_fused_temporal_fwd, heads=heads,
                                            scale=scale, residual=residual,
                                            block_r=block_r, group=group,
+                                           inkernel_pad=ik_pad,
                                            interpret=interpret)
         fused_ff = fused_base
         ref_ff = functools.partial(temporal_block_reference, heads=heads,
@@ -505,18 +521,22 @@ def _pick_ffin_chunk(rows: int, ff_inner: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "residual",
-                                             "block_r", "group", "interpret"))
+                                             "block_r", "group",
+                                             "inkernel_pad", "interpret"))
 def _fused_temporal_fwd(x: jax.Array, lns, lnb, wq: jax.Array, wk: jax.Array,
                         wv: jax.Array, wo: jax.Array, bo: jax.Array,
                         heads: int, scale: float, residual: bool = False,
                         block_r: int = 0, group: int = GROUP,
-                        ffin=None,
+                        ffin=None, inkernel_pad: bool = True,
                         interpret: bool = False) -> jax.Array:
     """x: (R, F, C); wq/wk/wv: (C, inner); wo: (inner, C_out); bo: (C_out,).
     Returns to_out(attention([LN]([ff_in](x))@Wq, ...)) [+ ff_in(x)] of
-    shape (R, F, C_out).  Rows and frames are zero-padded to tile; padded
-    keys are masked in the kernel, padded query rows/frames sliced off
-    here.  ``ffin``: (fls, flb, w1, b1, w2, b2) GEGLU prologue params."""
+    shape (R, F, C_out).  Rows are zero-padded to tile; with
+    ``inkernel_pad`` (default) the 16-sublane frame padding happens INSIDE
+    the kernel — the HBM blocks stream only the real F frames (28% less
+    x/out traffic at F=25) and the XLA pad + slice copy passes disappear;
+    TVI_TEMPORAL_INKERNEL_PAD=0 restores the XLA-side padding for A/B.
+    ``ffin``: (fls, flb, w1, b1, w2, b2) GEGLU prologue params."""
     r, f, c = x.shape
     c_out = wo.shape[-1]
     with_ln = lns is not None
@@ -526,9 +546,10 @@ def _fused_temporal_fwd(x: jax.Array, lns, lnb, wq: jax.Array, wk: jax.Array,
     while block_r % group:
         group //= 2
     fp = _pad_f(f)
+    f_io = f if inkernel_pad else fp          # frames in the HBM blocks
     pad_r = (-r) % block_r
-    if pad_r or fp != f:
-        x = jnp.pad(x, ((0, pad_r), (0, fp - f), (0, 0)))
+    if pad_r or fp != f_io:
+        x = jnp.pad(x, ((0, pad_r), (0, f_io - f), (0, 0)))
     rp = x.shape[0]
     grid = (rp // block_r,)
     d = wq.shape[-1] // heads
@@ -551,22 +572,22 @@ def _fused_temporal_fwd(x: jax.Array, lns, lnb, wq: jax.Array, wk: jax.Array,
     kernel = functools.partial(_fused_kernel, heads=heads, scale=scale,
                                f_valid=f, group=group, with_ln=with_ln,
                                residual=residual, with_ffin=with_ffin,
-                               ffin_chunk=ffin_chunk)
+                               ffin_chunk=ffin_chunk, fp_pad=fp)
     ln_ops = [lns.reshape(1, c), lnb.reshape(1, c)] if with_ln else []
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_r, fp, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_r, f_io, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [w_spec(a.shape) for a in ffin_ops]
         + [w_spec((1, c)) for _ in ln_ops] + [
             w_spec(wq.shape), w_spec(wk.shape), w_spec(wv.shape),
             w_spec(wo.shape), w_spec(bo.shape),
         ],
-        out_specs=pl.BlockSpec((block_r, fp, c_out), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((block_r, f_io, c_out), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rp, fp, c_out), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((rp, f_io, c_out), x.dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(100 * 1024 * 1024),
@@ -576,12 +597,12 @@ def _fused_temporal_fwd(x: jax.Array, lns, lnb, wq: jax.Array, wk: jax.Array,
             flops=2 * rp * fp * c * (3 * wq.shape[-1] + c_out)
             + 4 * rp * heads * fp * (group * fp) * d
             + (2 * rp * fp * c * 3 * (ffin[4].shape[0]) if with_ffin else 0),
-            bytes_accessed=2 * rp * fp * (c + c_out) * 2,
+            bytes_accessed=2 * rp * f_io * (c + c_out) * 2,
             transcendentals=rp * heads * fp * (group * fp),
         ),
         interpret=interpret,
     )(x, *ffin_ops, *ln_ops, wq, wk, wv, wo, bo)
-    return out[:r, :f]
+    return out[:r] if f_io == f else out[:r, :f]
 
 
 def fused_temporal_ffin_eligible(r: int, f: int, c: int, inner: int,
