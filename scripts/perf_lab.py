@@ -1732,3 +1732,7 @@ def check_v5_gn(name, b=4, s=2304, heads=5, c=320):
 
 
 exp("v5_check_gn")(lambda: check_v5_gn("v5_check_gn"))
+
+
+exp("unet_fwd_xlapad")(lambda: bench_unet_fwd(
+    "unet_fwd_xlapad", env={"TVI_TEMPORAL_INKERNEL_PAD": "0"}))

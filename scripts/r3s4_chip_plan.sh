@@ -16,7 +16,7 @@ python scripts/perf_lab.py v5_check v5_check_projin v5_check_576 v5_check_gn \
 #    0d71f72 graph = cache hit = sanity anchor ~1737 ms).
 python scripts/perf_lab.py unet_fwd unet_fwd_nov5 unet_fwd_noprojin \
     unet_fwd_notemporalln unet_fwd_noffin unet_fwd_nocrossff unet_fwd_nov5gn \
-    unet_fwd_nov5_nopacked 2>&1 | tee /tmp/chip_ab.log
+    unet_fwd_xlapad unet_fwd_nov5_nopacked 2>&1 | tee /tmp/chip_ab.log
 
 # 3. Isolated v5 rates (informational).
 python scripts/perf_lab.py v5_320 v5_640 v5p_320 2>&1 | tee /tmp/chip_v5.log
