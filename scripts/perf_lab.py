@@ -1736,3 +1736,41 @@ exp("v5_check_gn")(lambda: check_v5_gn("v5_check_gn"))
 
 exp("unet_fwd_xlapad")(lambda: bench_unet_fwd(
     "unet_fwd_xlapad", env={"TVI_TEMPORAL_INKERNEL_PAD": "0"}))
+
+
+exp("unet_fwd_4d")(lambda: bench_unet_fwd(
+    "unet_fwd_4d", env={"TVI_TEMPORAL_4D": "1"}))
+
+
+def check_temporal_4d(name, b=2, f=25, s=512, c=320, heads=5):
+    """TPU parity: untransposed 4D input + in-kernel emb-add/relayout."""
+    from tvi.ops.pallas_fused_temporal import (
+        fused_temporal_self_attention_4d,
+        temporal_block_4d_reference,
+    )
+
+    inner = c
+    ks = jax.random.split(jax.random.PRNGKey(0), 9)
+    mk = lambda i, shape, sc=1.0: (jax.random.normal(ks[i], shape, jnp.bfloat16) * sc)
+    x4 = mk(0, (b, f, s, c))
+    emb4 = mk(1, (b, f, 1, c), 0.3)
+    lns = mk(2, (c,), 0.2) + 1.0
+    lnb = mk(3, (c,), 0.2)
+    wq, wk, wv = (mk(4, (c, inner), c ** -0.5), mk(5, (c, inner), c ** -0.5),
+                  mk(6, (c, inner), c ** -0.5))
+    wo = mk(7, (inner, c), inner ** -0.5)
+    bo = jnp.zeros((c,), jnp.bfloat16)
+    got = fused_temporal_self_attention_4d(
+        x4, emb4, wq, wk, wv, wo, bo, heads=heads, scale=64 ** -0.5,
+        lns=lns, lnb=lnb, residual=True)
+    want = temporal_block_4d_reference(
+        x4, emb4, None, None, lns, lnb, wq, wk, wv, wo, bo,
+        heads=heads, scale=64 ** -0.5, residual=True)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    ref = float(jnp.max(jnp.abs(want.astype(jnp.float32))))
+    print(f"[{name}] max|err|={err:.5f} max|ref|={ref:.3f} "
+          f"{'OK' if err < 0.05 * max(ref, 1.0) else 'MISMATCH'}", flush=True)
+
+
+exp("temporal_4d_check")(lambda: check_temporal_4d("temporal_4d_check"))

@@ -365,6 +365,50 @@ class TestFusedTemporalSelfAttention:
         assert np.isfinite(np.asarray(gx)).all()
         assert float(jnp.abs(gw).max()) > 0
 
+    @pytest.mark.parametrize("with_ffin", [False, True])
+    def test_4d_untransposed_input(self, rng, with_ffin):
+        """4D variant: untransposed (B, F, S, C) input + frame-pos emb
+        consumed in-kernel (emb-add + relayout absorbed) vs the
+        materialized chain."""
+        from tvi.ops.pallas_fused_temporal import (
+            fused_temporal_self_attention_4d,
+            temporal_block_4d_reference,
+        )
+        b, f, s, c, heads = 2, 10, 128, 64, 1
+        f_inner = 4 * c
+        ks = jax.random.split(rng, 12)
+        x4 = jax.random.normal(ks[0], (b, f, s, c))
+        emb4 = jax.random.normal(ks[1], (b, f, 1, c)) * 0.3
+        lns = jax.random.normal(ks[2], (c,)) * 0.2 + 1.0
+        lnb = jnp.zeros((c,))
+        wq = jax.random.normal(ks[3], (c, c)) * c ** -0.5
+        wk = jax.random.normal(ks[4], (c, c)) * c ** -0.5
+        wv = jax.random.normal(ks[5], (c, c)) * c ** -0.5
+        wo = jax.random.normal(ks[6], (c, c)) * c ** -0.5
+        bo = jnp.zeros((c,))
+        ffin = None
+        fls = flb = fw1 = fb1 = fw2 = fb2 = None
+        if with_ffin:
+            fls = jax.random.normal(ks[7], (c,)) * 0.2 + 1.0
+            flb = jnp.zeros((c,))
+            fw1 = jax.random.normal(ks[8], (c, 2 * f_inner)) * c ** -0.5
+            fb1 = jax.random.normal(ks[9], (2 * f_inner,)) * 0.1
+            fw2 = jax.random.normal(ks[10], (f_inner, c)) * f_inner ** -0.5
+            fb2 = jnp.zeros((c,))
+            ffin = (fls, flb, fw1, fb1, fw2, fb2)
+        scale = (c // heads) ** -0.5
+
+        got = fused_temporal_self_attention_4d(
+            x4, emb4, wq, wk, wv, wo, bo, heads=heads, scale=scale,
+            lns=lns, lnb=lnb, residual=True, ffin_params=ffin,
+            interpret=True)
+        want = temporal_block_4d_reference(
+            x4, emb4, fls, flb, lns, lnb, wq, wk, wv, wo, bo,
+            fw1, fb1, fw2, fb2, heads=heads, scale=scale, residual=True)
+        assert got.shape == (b * s, f, c)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4, rtol=5e-4)
+
     def test_attention_module_param_tree_unchanged(self, rng):
         """The _DenseParams refactor must keep the exact nn.Dense param tree
         (to_q/kernel etc.) AND the same init values (same RNG paths)."""

@@ -462,6 +462,7 @@ class Attention(nn.Module):
         in_gn: Optional[Tuple[jax.Array, jax.Array]] = None,
         post_ff: Optional[Tuple] = None,
         pre_ff: Optional[Tuple] = None,
+        in_4d: Optional[Tuple[jax.Array, jax.Array]] = None,
     ):
         import os
 
@@ -642,6 +643,23 @@ class Attention(nn.Module):
             hidden_states = _apply_ff_params(hidden_states, pre_ff)
             residual = hidden_states
             pre_ff = None
+            in_4d = None      # the 4D view no longer matches hidden_states
+
+        # untransposed 4D input (opt-in TVI_TEMPORAL_4D=1): the kernel
+        # absorbs the frame-pos emb add and the spatial->temporal relayout;
+        # the caller's materialized transpose (hidden_states) is then only
+        # consumed for trace-time shapes and XLA dead-code-eliminates it
+        fused_temporal_4d_ok = False
+        if (in_4d is not None and fused_temporal_ln_ok
+                and os.environ.get("TVI_TEMPORAL_4D") == "1"):
+            from tvi.ops.pallas_fused_temporal import (
+                fused_temporal_4d_eligible,
+            )
+
+            b4, f4, s4, c4 = in_4d[0].shape
+            fused_temporal_4d_ok = fused_temporal_4d_eligible(
+                b4, f4, s4, c4, inner, out_features, self.qkv_bias,
+                pre_ff[4].shape[0] if fused_temporal_ffin_ok else 0)
 
         if in_proj is not None and not fused_v5_ok:
             # the caller's proj_in (TransformerSpatioTemporalModel) —
@@ -760,6 +778,16 @@ class Attention(nn.Module):
                 cast = lambda t: t.astype(self.dtype)
                 ffin = (pre_ff[0], pre_ff[1], cast(pre_ff[2]),
                         cast(pre_ff[3]), cast(pre_ff[4]), cast(pre_ff[5]))
+            if fused_temporal_4d_ok:
+                from tvi.ops.pallas_fused_temporal import (
+                    fused_temporal_self_attention_4d,
+                )
+
+                return fused_temporal_self_attention_4d(
+                    in_4d[0].astype(self.dtype), in_4d[1].astype(self.dtype),
+                    wq, wk, wv, wo, bo,
+                    heads=self.heads, scale=self.dim_head ** -0.5,
+                    lns=lns, lnb=lnb, residual=True, ffin_params=ffin)
             out = fused_temporal_self_attention(
                 hidden_states, wq, wk, wv, wo, bo,
                 heads=self.heads, scale=self.dim_head ** -0.5,

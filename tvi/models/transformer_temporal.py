@@ -140,12 +140,24 @@ class TemporalBasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(
         self,
-        hidden_states,                  # (BS, F, C)
+        hidden_states,                  # (BS, F, C) — or None with x4
         encoder_hidden_states=None,     # (BS or broadcastable, S_ctx, D)
         temporal_bias: Optional[jax.Array] = None,  # (F, S_ctx) additive
         want_stats: bool = False,
+        x4=None,                        # ((B, F, S, C), (B, F, 1, C)):
+                                        # untransposed hidden + frame-pos
+                                        # emb for the 4D kernel (opt-in)
     ):
         attn1_runs = not (ablated("temporal_attn") or ablated("temporal_self"))
+        if x4 is not None:
+            # materialize the relayout functionally; when attn1's 4D kernel
+            # engages it consumes x4 directly and XLA dead-code-eliminates
+            # this transpose — the fallbacks use it as-is
+            b4, f4, s4, c4 = x4[0].shape
+            hidden_states = jnp.swapaxes(x4[0] + x4[1], 1, 2).reshape(
+                b4 * s4, f4, c4)
+            if not attn1_runs:
+                x4 = None
         pre_ff = None
         if not ablated("ff"):
             from tvi.models.layers import LayerNormParams, serve_int8
@@ -186,7 +198,7 @@ class TemporalBasicTransformerBlock(nn.Module):
                                     name="norm1")()
             hidden_states = attn("attn1")(
                 hidden_states, pre_ln=norm1, residual_add=True,
-                pre_ff=pre_ff)
+                pre_ff=pre_ff, in_4d=x4)
 
         stats = None
         ff_applied = False
@@ -336,11 +348,24 @@ class TransformerSpatioTemporalModel(nn.Module):
             )(hidden_states, s_ctx, in_proj=in_proj if layer == 0 else None,
               in_gn=in_gn if layer == 0 else None)
 
-            # spatial -> temporal layout: (B*F, S, C) -> (B*S, F, C)
-            mix = hidden_states + emb
-            mix = mix.reshape(batch_size, num_frames, height * width, inner_dim)
-            mix = jnp.swapaxes(mix, 1, 2).reshape(batch_size * height * width,
-                                                  num_frames, inner_dim)
+            # spatial -> temporal layout: (B*F, S, C) -> (B*S, F, C).
+            # Opt-in TVI_TEMPORAL_4D=1: hand the UNTRANSPOSED 4D view +
+            # frame-pos emb to the temporal block — attn1's kernel absorbs
+            # the emb-add and the relayout (in-VMEM transpose), and this
+            # XLA transpose pass is dead-code-eliminated.
+            x4 = None
+            if (os.environ.get("TVI_TEMPORAL_4D") == "1"
+                    and _flash_enabled() and not serve_int8()):
+                x4 = (hidden_states.reshape(batch_size, num_frames,
+                                            height * width, inner_dim),
+                      emb.reshape(batch_size, num_frames, 1, inner_dim))
+                mix = None  # the temporal block materializes from x4
+            else:
+                mix = hidden_states + emb
+                mix = mix.reshape(batch_size, num_frames,
+                                  height * width, inner_dim)
+                mix = jnp.swapaxes(mix, 1, 2).reshape(
+                    batch_size * height * width, num_frames, inner_dim)
             # per-pixel temporal context: passed GROUPED as the compact
             # (B, S_ctx, D) — all B*S pixel rows of batch b share ctx[b];
             # Attention either consumes the groups directly (fused cross
@@ -351,7 +376,7 @@ class TransformerSpatioTemporalModel(nn.Module):
                 heads=self.heads, dim_head=self.dim_head,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"temporal_transformer_blocks_{layer}",
-            )(mix, t_ctx, temporal_bias=bias, want_stats=want_stats)
+            )(mix, t_ctx, temporal_bias=bias, want_stats=want_stats, x4=x4)
             mix = mix.reshape(batch_size, height * width, num_frames, inner_dim)
             mix = jnp.swapaxes(mix, 1, 2).reshape(bf, height * width, inner_dim)
 

@@ -85,7 +85,7 @@ def _vmem_bytes(block_r: int, f: int, c: int, c_out: int,
 def _fused_kernel(x_ref, *refs, heads: int, scale: float, f_valid: int,
                   group: int, with_ln: bool, residual: bool,
                   with_ffin: bool = False, ffin_chunk: int = 0,
-                  fp_pad: int = 0):
+                  fp_pad: int = 0, in_4d: bool = False):
     """Grouped frame attention: a per-row (Fp, d) x (d, Fp) logits dot is a
     32x32 output with K=64 — 1/16th of the MXU, and Mosaic serializes the
     BR-batched form into thousands of such dots (measured 36 TF/s for the
@@ -97,6 +97,8 @@ def _fused_kernel(x_ref, *refs, heads: int, scale: float, f_valid: int,
     ``with_ffin``: the block's ff_in (norm_in + GEGLU + out-proj +
     residual) runs as a chunked prologue into a VMEM scratch — the ff_in
     output never round-trips HBM before the attention consumes it."""
+    if in_4d:
+        emb_ref, *refs = refs
     if with_ffin:
         (fls_ref, flb_ref, fwh_ref, fwg_ref, fbh_ref, fbg_ref, fw2_ref,
          fb2_ref, *refs) = refs
@@ -105,7 +107,14 @@ def _fused_kernel(x_ref, *refs, heads: int, scale: float, f_valid: int,
          o_ref, *scratch) = refs
     else:
         wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *scratch = refs
-    x = x_ref[:]                                   # (BR, F or Fp, C)
+    if in_4d:
+        # untransposed input: block (1, F, bp, C) of the (B, F, S, C) view;
+        # frame-pos embedding added and the (F, bp) transpose done in VMEM
+        # — the XLA emb-add + transpose relayout pass never materializes
+        x4 = x_ref[0] + emb_ref[0]                 # (F, bp, C) + (F, 1, C)
+        x = jnp.swapaxes(x4, 0, 1)                 # (bp, F, C)
+    else:
+        x = x_ref[:]                               # (BR, F or Fp, C)
     br, f_in, c = x.shape
     fp = fp_pad or f_in
     if f_in != fp:
@@ -632,3 +641,129 @@ def fused_temporal_eligible(r: int, f: int, c: int, inner: int, c_out: int,
     block_r = _pick_block_r(f, c, c_out)
     return (block_r >= 64
             and _vmem_bytes(block_r, f, c, c_out) < 72 * 1024 * 1024)
+
+
+def temporal_block_4d_reference(x4, emb4, fls, flb, lns, lnb, wq, wk, wv,
+                                wo, bo, fw1=None, fb1=None, fw2=None,
+                                fb2=None, heads: int = 1, scale: float = 1.0,
+                                residual: bool = True) -> jax.Array:
+    """Materialize the spatial->temporal relayout + frame-pos embedding,
+    then the ff_in -> LN -> frame-attention -> residual chain — backward
+    path + parity oracle for the 4D kernel.  x4: (B, F, S, C);
+    emb4: (B, F, 1, C).  Returns temporal layout (B*S, F, C_out)."""
+    b, f, s, c = x4.shape
+    mix = x4 + emb4
+    mix = jnp.swapaxes(mix, 1, 2).reshape(b * s, f, c)
+    return temporal_block_reference(mix, fls, flb, lns, lnb, wq, wk, wv,
+                                    wo, bo, fw1, fb1, fw2, fb2, heads=heads,
+                                    scale=scale, residual=residual)
+
+
+def fused_temporal_4d_eligible(b: int, f: int, s: int, c: int, inner: int,
+                               c_out: int, qkv_bias: bool,
+                               ff_inner: int = 0) -> bool:
+    """4D (untransposed-input) variant: S must tile into whole-pixel
+    blocks; base/ffin eligibility on the equivalent (B*S, F, C) shape."""
+    if not any(s % br == 0 for br in (512, 256, 128, 64)):
+        return False
+    if ff_inner:
+        return fused_temporal_ffin_eligible(b * s, f, c, inner, c_out,
+                                            qkv_bias, ff_inner)
+    return fused_temporal_eligible(b * s, f, c, inner, c_out, qkv_bias)
+
+
+def fused_temporal_self_attention_4d(x4: jax.Array, emb4: jax.Array,
+                                     wq: jax.Array, wk: jax.Array,
+                                     wv: jax.Array, wo: jax.Array,
+                                     bo: jax.Array, heads: int, scale: float,
+                                     lns=None, lnb=None,
+                                     residual: bool = True, ffin_params=None,
+                                     interpret: bool = False) -> jax.Array:
+    """Differentiable wrapper for the 4D variant (opt-in TVI_TEMPORAL_4D=1
+    at the dispatch site): consumes the UNTRANSPOSED (B, F, S, C) hidden +
+    (B, F, 1, C) frame-pos embedding; emb-add and the spatial->temporal
+    relayout happen inside the kernel.  Output is temporal layout
+    (B*S, F, C_out) like fused_temporal_self_attention."""
+    from tvi.ops.diffable import pallas_with_reference_vjp
+
+    ref = functools.partial(temporal_block_4d_reference, heads=heads,
+                            scale=scale, residual=residual)
+    fused = functools.partial(_fused_temporal_4d_fwd, heads=heads,
+                              scale=scale, residual=residual,
+                              interpret=interpret)
+    fp = ffin_params if ffin_params is not None else (None,) * 6
+    fls, flb, fw1, fb1, fw2, fb2 = fp
+    return pallas_with_reference_vjp(fused, ref, x4, emb4, fls, flb, lns,
+                                     lnb, wq, wk, wv, wo, bo, fw1, fb1,
+                                     fw2, fb2)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "residual",
+                                             "interpret"))
+def _fused_temporal_4d_fwd(x4, emb4, fls, flb, lns, lnb, wq, wk, wv, wo, bo,
+                           fw1=None, fb1=None, fw2=None, fb2=None,
+                           heads: int = 1, scale: float = 1.0,
+                           residual: bool = True,
+                           interpret: bool = False) -> jax.Array:
+    b, f, s, c = x4.shape
+    c_out = wo.shape[-1]
+    with_ln = lns is not None
+    with_ffin = fw1 is not None
+    block_r = next(br for br in (512, 256, 128, 64) if s % br == 0)
+    fp = _pad_f(f)
+    grid = (b, s // block_r)
+    d = wq.shape[-1] // heads
+    w_spec = lambda shape: pl.BlockSpec(shape, lambda bi, si: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    ffin_ops = []
+    scratch = []
+    ffin_chunk = 0
+    if with_ffin:
+        f_inner = fw2.shape[0]
+        ffin_ops = [fls.reshape(1, c), flb.reshape(1, c),
+                    fw1[:, :f_inner], fw1[:, f_inner:],
+                    fb1[:f_inner].reshape(1, f_inner),
+                    fb1[f_inner:].reshape(1, f_inner),
+                    fw2, fb2.reshape(1, c)]
+        scratch = [pltpu.VMEM((block_r * fp, c), x4.dtype)]
+        ffin_chunk = _pick_ffin_chunk(block_r * fp, f_inner)
+    ln_ops = [lns.reshape(1, c), lnb.reshape(1, c)] if with_ln else []
+    kernel = functools.partial(_fused_kernel, heads=heads, scale=scale,
+                               f_valid=f, group=1, with_ln=with_ln,
+                               residual=residual, with_ffin=with_ffin,
+                               ffin_chunk=ffin_chunk, fp_pad=fp, in_4d=True)
+    n_sb = s // block_r
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, f, block_r, c), lambda bi, si: (bi, 0, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f, 1, c), lambda bi, si: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [w_spec(a.shape) for a in ffin_ops]
+        + [w_spec((1, c)) for _ in ln_ops] + [
+            w_spec(wq.shape), w_spec(wk.shape), w_spec(wv.shape),
+            w_spec(wo.shape), w_spec(bo.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_r, f, c_out),
+            lambda bi, si: (bi * n_sb + si, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * s, f, c_out), x4.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024),
+            dimension_semantics=("arbitrary", "arbitrary") if with_ffin
+            else ("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * fp * c * (3 * wq.shape[-1] + c_out)
+            + 4 * b * s * heads * fp * fp * d
+            + (2 * b * s * fp * c * 3 * fw2.shape[0] if with_ffin else 0),
+            bytes_accessed=2 * b * s * f * (c + c_out) * 2,
+            transcendentals=b * s * heads * fp * fp,
+        ),
+        interpret=interpret,
+    )(x4, emb4, *ffin_ops, *ln_ops, wq, wk, wv, wo, bo)
+    return out
