@@ -716,6 +716,88 @@ class TestFlashAttentionOut:
         assert float(jnp.abs(gw).max()) > 0
 
 
+    def test_out4d_final_output(self, rng):
+        """out4d variant: attn2+FF + alpha blend + proj_out + outer
+        residual in one kernel, output written in the (B, F, S, C) spatial
+        view — vs the materialized reference chain."""
+        from tvi.ops.pallas_fused_cross import (
+            cross_ff_out4d_reference,
+            fused_cross_ff_out4d,
+            to_head_major_ctx,
+        )
+        b, f, s, c, heads, s_ctx = 2, 10, 64, 64, 1, 2
+        inner = heads * 64
+        f_inner = 4 * c
+        ks = jax.random.split(rng, 14)
+        x2 = jax.random.normal(ks[0], (b * s * f, c))
+        lns = jax.random.normal(ks[1], (c,)) * 0.2 + 1.0
+        lnb = jnp.zeros((c,))
+        wq = jax.random.normal(ks[2], (c, inner)) * c ** -0.5
+        ck = to_head_major_ctx(jax.random.normal(ks[3], (b, s_ctx, inner)),
+                               heads)
+        cv = to_head_major_ctx(jax.random.normal(ks[4], (b, s_ctx, inner)),
+                               heads)
+        wo = jax.random.normal(ks[5], (inner, c)) * inner ** -0.5
+        bo = jnp.zeros((c,))
+        fls = jax.random.normal(ks[6], (c,)) * 0.2 + 1.0
+        flb = jnp.zeros((c,))
+        fw1 = jax.random.normal(ks[7], (c, 2 * f_inner)) * c ** -0.5
+        fb1 = jax.random.normal(ks[8], (2 * f_inner,)) * 0.1
+        fw2 = jax.random.normal(ks[9], (f_inner, c)) * f_inner ** -0.5
+        fb2 = jnp.zeros((c,))
+        wpo = jax.random.normal(ks[10], (c, c)) * c ** -0.5
+        bpo = jax.random.normal(ks[11], (c,)) * 0.1
+        alpha = jax.nn.sigmoid(jnp.full((1,), 0.5))
+        spatial4 = jax.random.normal(ks[12], (b, f, s, c))
+        res4 = jax.random.normal(ks[13], (b, f, s, c))
+        ffp = (fls, flb, fw1, fb1, fw2, fb2)
+        scale = 64 ** -0.5
+
+        got = fused_cross_ff_out4d(x2, lns, lnb, wq, ck, cv, wo, bo, ffp,
+                                   wpo, bpo, alpha, spatial4, res4,
+                                   heads=heads, scale=scale, interpret=True)
+        want = cross_ff_out4d_reference(
+            x2, lns, lnb, wq, ck, cv, wo, bo, *ffp, wpo, bpo, alpha,
+            spatial4, res4, heads=heads, scale=scale,
+            rows_per_group=s * f)
+        assert got.shape == (b, f, s, c)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_out4d_grad_finite(self, rng):
+        from tvi.ops.pallas_fused_cross import (
+            fused_cross_ff_out4d,
+            to_head_major_ctx,
+        )
+        b, f, s, c, heads, s_ctx = 1, 8, 32, 64, 1, 2
+        inner = 64
+        ks = jax.random.split(rng, 10)
+        x2 = jax.random.normal(ks[0], (b * s * f, c))
+        ones, zeros = jnp.ones((c,)), jnp.zeros((c,))
+        wq = jax.random.normal(ks[1], (c, inner)) * 0.1
+        ck = to_head_major_ctx(jax.random.normal(ks[2], (b, s_ctx, inner)), 1)
+        cv = to_head_major_ctx(jax.random.normal(ks[3], (b, s_ctx, inner)), 1)
+        wo = jax.random.normal(ks[4], (inner, c)) * 0.1
+        fw1 = jax.random.normal(ks[5], (c, 8 * c)) * 0.1
+        fw2 = jax.random.normal(ks[6], (4 * c, c)) * 0.1
+        wpo = jax.random.normal(ks[7], (c, c)) * 0.1
+        spatial4 = jax.random.normal(ks[8], (b, f, s, c))
+        res4 = jax.random.normal(ks[9], (b, f, s, c))
+        alpha = jax.nn.sigmoid(jnp.full((1,), 0.5))
+        ffp = (ones, zeros, fw1, jnp.zeros((8 * c,)), fw2, zeros)
+
+        def loss(wpo_, x_):
+            out = fused_cross_ff_out4d(
+                x_, ones, zeros, wq, ck, cv, wo, zeros, ffp, wpo_, zeros,
+                alpha, spatial4, res4, heads=1, scale=0.125, interpret=True)
+            return jnp.sum(out ** 2)
+
+        gw, gx = jax.grad(loss, argnums=(0, 1))(wpo, x2)
+        assert np.isfinite(np.asarray(gw)).all()
+        assert np.isfinite(np.asarray(gx)).all()
+        assert float(jnp.abs(gw).max()) > 0
+
+
 class TestLnAttentionOutV5:
     """v5 whole-sublayer kernel (LN + QKV + flash + out-proj + residual)
     vs the unfused XLA composition (tvi/ops/pallas_attention_v5.py)."""

@@ -284,7 +284,8 @@ class AlphaBlender(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_spatial: jax.Array, x_temporal: jax.Array) -> jax.Array:
+    def __call__(self, x_spatial: jax.Array, x_temporal: jax.Array = None,
+                 return_alpha: bool = False) -> jax.Array:
         # diffusers initializes the raw parameter to `alpha` and applies
         # sigmoid on read (AlphaBlender.get_alpha), so init 0.5 -> 0.622.
         mix_factor = self.param(
@@ -294,6 +295,10 @@ class AlphaBlender(nn.Module):
         a = jax.nn.sigmoid(mix_factor.astype(jnp.float32)).astype(x_spatial.dtype)
         if self.switch_spatial_to_temporal_mix:
             a = 1.0 - a
+        if return_alpha:
+            # caller folds the blend elsewhere (the out4d cross kernel);
+            # param tree unchanged
+            return a
         return a * x_spatial + (1.0 - a) * x_temporal
 
 
@@ -463,6 +468,7 @@ class Attention(nn.Module):
         post_ff: Optional[Tuple] = None,
         pre_ff: Optional[Tuple] = None,
         in_4d: Optional[Tuple[jax.Array, jax.Array]] = None,
+        out4d: Optional[Tuple] = None,
     ):
         import os
 
@@ -735,7 +741,9 @@ class Attention(nn.Module):
 
         if fused_cross_ok:
             from tvi.ops.pallas_fused_cross import (
+                cross_ff_out4d_eligible,
                 fused_cross_attention,
+                fused_cross_ff_out4d,
                 to_head_major_ctx,
             )
 
@@ -748,6 +756,26 @@ class Attention(nn.Module):
                 cast = lambda t: t.astype(self.dtype)
                 ffp = (post_ff[0], post_ff[1], cast(post_ff[2]),
                        cast(post_ff[3]), cast(post_ff[4]), cast(post_ff[5]))
+            if (out4d is not None and fused_cross_ff
+                    and os.environ.get("TVI_TEMPORAL_4D") == "1"):
+                # temporal attn2+FF + blend + proj_out + outer residual in
+                # one kernel, output written in the (B, F, S, C) spatial
+                # view — the caller detects the 4D result and skips its
+                # transpose/blend/proj_out tail (opt-in TVI_TEMPORAL_4D=1)
+                spatial4, wpo, bpo, alpha, res4 = out4d
+                b4, f4, s4 = spatial4.shape[:3]
+                if (context.shape[0] == b4 and bsz == b4 * s4 and seq == f4
+                        and cross_ff_out4d_eligible(
+                            b4, f4, s4, cdim, inner, wpo.shape[-1],
+                            context.shape[1], post_ff[4].shape[0])):
+                    cast = lambda t: t.astype(self.dtype)
+                    return fused_cross_ff_out4d(
+                        hidden_states.reshape(bsz * seq, cdim), lns, lnb,
+                        wq, to_head_major_ctx(ck, self.heads),
+                        to_head_major_ctx(cv, self.heads), wo, bo, ffp,
+                        cast(wpo), cast(bpo), alpha, cast(spatial4),
+                        cast(res4), heads=self.heads,
+                        scale=self.dim_head ** -0.5, eps=self.eps)
             out2 = fused_cross_attention(
                 hidden_states.reshape(bsz * seq, cdim), lns, lnb, wq,
                 to_head_major_ctx(ck, self.heads),

@@ -147,6 +147,10 @@ class TemporalBasicTransformerBlock(nn.Module):
         x4=None,                        # ((B, F, S, C), (B, F, 1, C)):
                                         # untransposed hidden + frame-pos
                                         # emb for the 4D kernel (opt-in)
+        out4d=None,                     # (spatial4, wpo, bpo, alpha, res4):
+                                        # attn2+FF also writes the FINAL
+                                        # (B, F, S, C) transformer output
+                                        # (blend/proj_out/residual folded)
     ):
         attn1_runs = not (ablated("temporal_attn") or ablated("temporal_self"))
         if x4 is not None:
@@ -226,11 +230,15 @@ class TemporalBasicTransformerBlock(nn.Module):
             out = attn("attn2")(
                 hidden_states, encoder_hidden_states,
                 bias=temporal_bias, want_stats=want_stats,
-                pre_ln=norm2, residual_add=True, post_ff=post_ff)
+                pre_ln=norm2, residual_add=True, post_ff=post_ff,
+                out4d=out4d if post_ff is not None else None)
             if want_stats:
                 out, stats = out
                 self.sow("intermediates", "attn_stats", stats)
             hidden_states = out
+            if hidden_states.ndim == 4:
+                # the out4d kernel wrote the final transformer output
+                return hidden_states
 
         if not ablated("ff") and not ff_applied:
             from tvi.models.layers import LayerNormParams
@@ -340,6 +348,21 @@ class TransformerSpatioTemporalModel(nn.Module):
         # used inside the block loop, transformer_temporal.py:246,349)
         mixer = AlphaBlender(alpha=0.5, param_dtype=self.param_dtype, name="time_mixer")
 
+        # opt-in TVI_TEMPORAL_4D: extract proj_out weights + blend alpha so
+        # the LAST layer's temporal attn2+FF kernel can write the FINAL
+        # transformer output (blend + proj_out + outer residual folded);
+        # the fallbacks apply the same raw params manually — same tree.
+        proj_out_mod = MaybeQuantDense(channels, dtype=self.dtype,
+                                       param_dtype=self.param_dtype,
+                                       name="proj_out")
+        out4d_params = None
+        if (os.environ.get("TVI_TEMPORAL_4D") == "1"
+                and _flash_enabled() and not serve_int8()):
+            wpo, bpo = proj_out_mod(jnp.zeros((1, inner_dim), self.dtype),
+                                    return_params=True)
+            alpha4 = mixer(hidden_states, return_alpha=True)
+            out4d_params = (wpo, bpo, alpha4)
+
         for layer in range(self.num_layers):
             hidden_states = BasicTransformerBlock(
                 heads=self.heads, dim_head=self.dim_head,
@@ -372,18 +395,36 @@ class TransformerSpatioTemporalModel(nn.Module):
             # kernel picks its group's K/V via the block index map) or
             # repeats batch-major on the fallback path.
             t_ctx = temporal_ctx
+            o4 = None
+            if (x4 is not None and out4d_params is not None
+                    and layer == self.num_layers - 1):
+                wpo, bpo, alpha4 = out4d_params
+                o4 = (hidden_states.reshape(batch_size, num_frames,
+                                            height * width, inner_dim),
+                      wpo, bpo, alpha4,
+                      residual.reshape(batch_size, num_frames,
+                                       height * width, channels))
             mix = TemporalBasicTransformerBlock(
                 heads=self.heads, dim_head=self.dim_head,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"temporal_transformer_blocks_{layer}",
-            )(mix, t_ctx, temporal_bias=bias, want_stats=want_stats, x4=x4)
+            )(mix, t_ctx, temporal_bias=bias, want_stats=want_stats, x4=x4,
+              out4d=o4)
+            if mix.ndim == 4:
+                # the out4d kernel wrote the final (B, F, S, C) output
+                return mix.reshape(bf, height, width, channels)
             mix = mix.reshape(batch_size, height * width, num_frames, inner_dim)
             mix = jnp.swapaxes(mix, 1, 2).reshape(bf, height * width, inner_dim)
 
             hidden_states = mixer(hidden_states, mix)
 
-        hidden_states = MaybeQuantDense(channels, dtype=self.dtype,
-                                        param_dtype=self.param_dtype,
-                                        name="proj_out")(hidden_states)
+        if out4d_params is not None:
+            # params already created above (return_params) — apply manually
+            wpo, bpo, _ = out4d_params
+            hidden_states = (hidden_states.astype(self.dtype)
+                             @ wpo.astype(self.dtype)
+                             + bpo.astype(self.dtype))
+        else:
+            hidden_states = proj_out_mod(hidden_states)
         hidden_states = hidden_states.reshape(bf, height, width, channels)
         return hidden_states + residual

@@ -294,3 +294,225 @@ def to_head_major_ctx(k: jax.Array, heads: int) -> jax.Array:
     context blocks (Mosaic rejects 64-lane slices of a wider array)."""
     g, s, inner = k.shape
     return jnp.transpose(k.reshape(g, s, heads, inner // heads), (0, 2, 1, 3))
+
+
+# ---------------------------------------------------------------------------
+# out4d variant: the TEMPORAL attn2+FF kernel additionally writes the
+# transformer's FINAL output — alpha blend with the spatial branch, proj_out
+# and the outer residual fold into the epilogue, and the output is written
+# as (1, F, bp, C) blocks of the (B, F, S, C) spatial view (in-VMEM inverse
+# transpose).  The XLA temporal->spatial relayout, the blend pass and the
+# thin-N proj_out M-pass all disappear.  Opt-in via TVI_TEMPORAL_4D=1 at
+# the dispatch site (tvi/models/transformer_temporal.py).
+# ---------------------------------------------------------------------------
+
+
+def _pick_ff_chunk(rows: int, ff_inner: int) -> int:
+    for nch in (1, 2, 4, 8, 16, 32):
+        if rows % nch == 0 and (rows // nch) * ff_inner * 8 <= 8 * 1024 * 1024:
+            return rows // nch
+    return 0
+
+
+def _cross_ff_out4d_kernel(x_ref, lns_ref, lnb_ref, wq_ref, ck_ref, cv_ref,
+                           wo_ref, bo_ref, fls_ref, flb_ref, wh_ref, wg_ref,
+                           bh_ref, bg_ref, w2_ref, b2_ref, wpo_ref, bpo_ref,
+                           alpha_ref, sp_ref, res_ref, o_ref, *, heads: int,
+                           scale: float, eps: float, ctx_valid: int,
+                           f: int, ff_chunk: int):
+    from tvi.ops.pallas_geglu import _erf
+
+    x = x_ref[:]                                    # (bp*F, C) pixel-major
+    bm, c = x.shape
+    bp = bm // f
+    h = _ln_rows(x, lns_ref[0], lnb_ref[0], eps).astype(x.dtype)
+    mm = functools.partial(jax.lax.dot_general,
+                           dimension_numbers=(((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
+    q = mm(h, wq_ref[:])                            # (BM, inner) fp32
+    inner = q.shape[-1]
+    d = inner // heads
+    wo = wo_ref[:]
+    acc = None
+    for hh in range(heads):
+        qh = q[:, hh * d:(hh + 1) * d].astype(x.dtype)
+        kh = ck_ref[0, hh]
+        vh = cv_ref[0, hh]
+        logits = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < ctx_valid, logits, -1e30)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        contrib = mm(oh.astype(x.dtype), wo[hh * d:(hh + 1) * d, :])
+        acc = contrib if acc is None else acc + contrib
+    acc = acc + bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+    y = acc.astype(x.dtype)                         # attn2 out (BM, C)
+
+    # norm3 + GEGLU FF + residual, chunked (fp32 h/g temps bounded)
+    chunks = []
+    for ci in range(bm // ff_chunk):
+        rows = slice(ci * ff_chunk, (ci + 1) * ff_chunk)
+        yc = y[rows]
+        h_in = _ln_rows(yc, fls_ref[0], flb_ref[0], eps).astype(x.dtype)
+        h2 = mm(h_in, wh_ref[:]) + bh_ref[:].astype(jnp.float32)
+        g2 = mm(h_in, wg_ref[:]) + bg_ref[:].astype(jnp.float32)
+        gated = (h2 * (0.5 * g2 * (1.0 + _erf(g2 * 0.7071067811865476)))
+                 ).astype(x.dtype)
+        chunks.append((mm(gated, w2_ref[:]) + b2_ref[:].astype(jnp.float32)
+                       + yc.astype(jnp.float32)).astype(x.dtype))
+    t_out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+
+    # temporal -> spatial inverse transpose + alpha blend + proj_out +
+    # the transformer's outer residual
+    tt = jnp.swapaxes(t_out.reshape(bp, f, c), 0, 1)      # (F, bp, C)
+    a = alpha_ref[0, 0].astype(x.dtype)
+    z = (a * sp_ref[0] + (1.0 - a) * tt).reshape(f * bp, c)
+    o = mm(z, wpo_ref[:]) + bpo_ref[:].astype(jnp.float32)
+    o = o + res_ref[0].reshape(f * bp, -1).astype(jnp.float32)
+    o_ref[0] = o.reshape(f, bp, -1).astype(o_ref.dtype)
+
+
+def cross_ff_out4d_reference(x2, lns, lnb, wq, ctx_k, ctx_v, wo, bo,
+                             ff_lns, ff_lnb, fw1, fb1, fw2, fb2, wpo, bpo,
+                             alpha, spatial4, res4, heads: int = 1,
+                             scale: float = 1.0, rows_per_group: int = 1,
+                             eps: float = 1e-5) -> jax.Array:
+    """Materialized chain — backward path + parity oracle.  x2: (B*S*F, C)
+    pixel-major; spatial4/res4: (B, F, S, C*); returns (B, F, S, C_out)."""
+    b, f, s, c = spatial4.shape
+    y = cross_ff_reference(x2, lns, lnb, wq, ctx_k, ctx_v, wo, bo,
+                           ff_lns, ff_lnb, fw1, fb1, fw2, fb2, heads=heads,
+                           scale=scale, rows_per_group=rows_per_group,
+                           eps=eps, residual=True)
+    y4 = jnp.swapaxes(y.reshape(b, s, f, c), 1, 2)        # (B, F, S, C)
+    a = alpha.astype(y4.dtype)
+    z = a * spatial4 + (1.0 - a) * y4
+    o = jnp.dot(z.reshape(-1, c), wpo,
+                preferred_element_type=jnp.float32)
+    o = o + bpo.astype(jnp.float32)
+    o = o.reshape(b, f, s, -1) + res4.astype(jnp.float32)
+    return o.astype(x2.dtype)
+
+
+def fused_cross_ff_out4d(x2, lns, lnb, wq, ctx_k, ctx_v, wo, bo, ff_params,
+                         wpo, bpo, alpha, spatial4, res4, heads: int,
+                         scale: float, eps: float = 1e-5,
+                         interpret: bool = False) -> jax.Array:
+    """Differentiable wrapper (Pallas forward, materialized reference
+    backward).  ``ctx_k/ctx_v``: (B, heads, S_ctx, d) — one context group
+    per CFG batch (the temporal attn2 contract)."""
+    from tvi.ops.diffable import pallas_with_reference_vjp
+
+    fused = functools.partial(_cross_ff_out4d_fwd, heads=heads, scale=scale,
+                              eps=eps, interpret=interpret)
+    b, f, s, c = spatial4.shape
+    ref = functools.partial(cross_ff_out4d_reference, heads=heads,
+                            scale=scale, rows_per_group=s * f, eps=eps)
+    return pallas_with_reference_vjp(fused, ref, x2, lns, lnb, wq, ctx_k,
+                                     ctx_v, wo, bo, *ff_params, wpo, bpo,
+                                     alpha, spatial4, res4)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "eps",
+                                             "interpret"))
+def _cross_ff_out4d_fwd(x2, lns, lnb, wq, ctx_k, ctx_v, wo, bo, ff_lns,
+                        ff_lnb, fw1, fb1, fw2, fb2, wpo, bpo, alpha,
+                        spatial4, res4, heads: int = 1, scale: float = 1.0,
+                        eps: float = 1e-5,
+                        interpret: bool = False) -> jax.Array:
+    b, f, s, c = spatial4.shape
+    c_out = wpo.shape[-1]
+    g, _, s_ctx, d = ctx_k.shape
+    f_inner = fw2.shape[0]
+    if s_ctx < CTX_PAD:
+        pad = ((0, 0), (0, 0), (0, CTX_PAD - s_ctx), (0, 0))
+        ctx_k = jnp.pad(ctx_k, pad)
+        ctx_v = jnp.pad(ctx_v, pad)
+    bp = next(p for p in (128, 64, 32, 16) if s % p == 0)
+    bm = bp * f
+    n_sb = s // bp
+    grid = (b, n_sb)
+    ff_chunk = _pick_ff_chunk(bm, f_inner)
+    w_spec = lambda a_: pl.BlockSpec(a_.shape, lambda bi, si: (0,) * a_.ndim,
+                                     memory_space=pltpu.VMEM)
+    wh, wg = fw1[:, :f_inner], fw1[:, f_inner:]
+    bh = fb1[:f_inner].reshape(1, f_inner)
+    bg = fb1[f_inner:].reshape(1, f_inner)
+    alpha_row = jnp.broadcast_to(
+        alpha.reshape(1, 1).astype(jnp.float32), (1, 128))
+    sp4_spec = pl.BlockSpec((1, f, bp, c), lambda bi, si: (bi, 0, si, 0),
+                            memory_space=pltpu.VMEM)
+    res_spec = pl.BlockSpec((1, f, bp, c_out), lambda bi, si: (bi, 0, si, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_cross_ff_out4d_kernel, heads=heads, scale=scale,
+                          eps=eps, ctx_valid=s_ctx, f=f, ff_chunk=ff_chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda bi, si: (bi * n_sb + si, 0),
+                         memory_space=pltpu.VMEM),
+            w_spec(lns.reshape(1, c)), w_spec(lnb.reshape(1, c)),
+            w_spec(wq),
+            pl.BlockSpec((1, heads, ctx_k.shape[2], d),
+                         lambda bi, si: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads, ctx_k.shape[2], d),
+                         lambda bi, si: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            w_spec(wo), w_spec(bo.reshape(1, c)),
+            w_spec(ff_lns.reshape(1, c)), w_spec(ff_lnb.reshape(1, c)),
+            w_spec(wh), w_spec(wg), w_spec(bh), w_spec(bg),
+            w_spec(fw2), w_spec(fb2.reshape(1, c)),
+            w_spec(wpo), w_spec(bpo.reshape(1, c_out)),
+            w_spec(alpha_row), sp4_spec, res_spec,
+        ],
+        out_specs=pl.BlockSpec((1, f, bp, c_out),
+                               lambda bi, si: (bi, 0, si, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, f, s, c_out), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024),
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * f * c * (wq.shape[-1] + c + 3 * f_inner + c_out)
+            + 4 * b * s * f * wq.shape[-1] * s_ctx,
+            bytes_accessed=(3 * b * s * f * c + b * s * f * c_out) * 2,
+            transcendentals=b * s * f * (heads * s_ctx + 2 * f_inner),
+        ),
+        interpret=interpret,
+    )(x2, lns.reshape(1, c), lnb.reshape(1, c), wq, ctx_k, ctx_v, wo,
+      bo.reshape(1, c), ff_lns.reshape(1, c), ff_lnb.reshape(1, c),
+      wh, wg, bh, bg, fw2, fb2.reshape(1, c), wpo,
+      bpo.reshape(1, c_out), alpha_row, spatial4, res4)
+
+
+def cross_ff_out4d_eligible(b: int, f: int, s: int, c: int, inner: int,
+                            c_out: int, s_ctx: int, ff_inner: int) -> bool:
+    """Temporal attn2 + FF + blend + proj_out + residual in one kernel:
+    per-CFG-batch context, whole-pixel blocks, FF weights <= 20 MB."""
+    if s_ctx > 8 or inner % 64 or c % 8 or c_out % 8 or f % 8:
+        return False
+    bp = next((p for p in (128, 64, 32, 16) if s % p == 0), None)
+    if bp is None or bp % 16:
+        return False
+    bm = bp * f
+    if not _pick_ff_chunk(bm, ff_inner):
+        return False
+    ff_w = (c * 2 * ff_inner + ff_inner * c) * 2
+    if ff_w > 20 * 1024 * 1024:
+        return False
+    weights = ff_w + (c * inner + inner * c + c * c_out) * 2
+    tiles = (bm * c * 2 * 4          # x, y, t_out, z
+             + 2 * f * bp * max(c, c_out) * 2    # spatial + residual blocks
+             + bm * c_out * 4)
+    return weights + tiles + 16 * 1024 * 1024 < 88 * 1024 * 1024
