@@ -1774,3 +1774,49 @@ def check_temporal_4d(name, b=2, f=25, s=512, c=320, heads=5):
 
 
 exp("temporal_4d_check")(lambda: check_temporal_4d("temporal_4d_check"))
+
+
+def check_out4d(name, b=2, f=25, s=512, c=320, heads=5, s_ctx=2):
+    """TPU parity: the out4d cross kernel (attn2+FF+blend+proj_out+res)."""
+    from tvi.ops.pallas_fused_cross import (
+        cross_ff_out4d_reference,
+        fused_cross_ff_out4d,
+        to_head_major_ctx,
+    )
+
+    inner = heads * 64
+    f_inner = 4 * c
+    ks = jax.random.split(jax.random.PRNGKey(0), 14)
+    mk = lambda i, shape, sc=1.0: (jax.random.normal(ks[i], shape, jnp.bfloat16) * sc)
+    x2 = mk(0, (b * s * f, c))
+    lns = mk(1, (c,), 0.2) + 1.0
+    lnb = jnp.zeros((c,), jnp.bfloat16)
+    wq = mk(2, (c, inner), c ** -0.5)
+    ck = to_head_major_ctx(mk(3, (b, s_ctx, inner)), heads)
+    cv = to_head_major_ctx(mk(4, (b, s_ctx, inner)), heads)
+    wo = mk(5, (inner, c), inner ** -0.5)
+    bo = jnp.zeros((c,), jnp.bfloat16)
+    ffp = (mk(6, (c,), 0.2) + 1.0, jnp.zeros((c,), jnp.bfloat16),
+           mk(7, (c, 2 * f_inner), c ** -0.5), mk(8, (2 * f_inner,), 0.1),
+           mk(9, (f_inner, c), f_inner ** -0.5),
+           jnp.zeros((c,), jnp.bfloat16))
+    wpo = mk(10, (c, c), c ** -0.5)
+    bpo = mk(11, (c,), 0.1)
+    alpha = jax.nn.sigmoid(jnp.full((1,), 0.5, jnp.bfloat16))
+    spatial4 = mk(12, (b, f, s, c))
+    res4 = mk(13, (b, f, s, c))
+    got = fused_cross_ff_out4d(x2, lns, lnb, wq, ck, cv, wo, bo, ffp,
+                               wpo, bpo, alpha, spatial4, res4,
+                               heads=heads, scale=64 ** -0.5)
+    want = cross_ff_out4d_reference(x2, lns, lnb, wq, ck, cv, wo, bo, *ffp,
+                                    wpo, bpo, alpha, spatial4, res4,
+                                    heads=heads, scale=64 ** -0.5,
+                                    rows_per_group=s * f)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    ref = float(jnp.max(jnp.abs(want.astype(jnp.float32))))
+    print(f"[{name}] max|err|={err:.5f} max|ref|={ref:.3f} "
+          f"{'OK' if err < 0.05 * max(ref, 1.0) else 'MISMATCH'}", flush=True)
+
+
+exp("out4d_check")(lambda: check_out4d("out4d_check"))

@@ -8,7 +8,7 @@ cd "$(dirname "$0")/.."
 
 # 1. TPU parity gates for every session-4 kernel (small programs).
 python scripts/perf_lab.py v5_check v5_check_projin v5_check_576 v5_check_gn \
-    temporal_ln_check temporal_ffin_check cross_ff_check temporal_4d_check \
+    temporal_ln_check temporal_ffin_check cross_ff_check temporal_4d_check out4d_check \
     2>&1 | tee /tmp/chip_parity.log
 
 # 2. unet_fwd with the full session-4 default stack, then the kill-switch
