@@ -18,6 +18,9 @@ python scripts/perf_lab.py unet_fwd unet_fwd_nov5 unet_fwd_noprojin \
     unet_fwd_notemporalln unet_fwd_noffin unet_fwd_nocrossff unet_fwd_nov5gn \
     unet_fwd_xlapad unet_fwd_nov5_nopacked 2>&1 | tee /tmp/chip_ab.log
 
+# 2b. Opt-in 4D transposed-IO stack (flip default if it wins):
+python scripts/perf_lab.py unet_fwd_4d 2>&1 | tee -a /tmp/chip_ab.log
+
 # 3. Isolated v5 rates (informational).
 python scripts/perf_lab.py v5_320 v5_640 v5p_320 2>&1 | tee /tmp/chip_v5.log
 
