@@ -39,3 +39,12 @@ python bench.py 2>&1 | tee /tmp/chip_bench.log
 #    backward graph: chunked-reference VJPs for v5/ffin/cross+FF) — verify
 #    the 512x320x14f batch-2 AdamW step still fits and time it.
 timeout 3000 python scripts/train_step_probe.py 2>&1 | tee /tmp/chip_train.log
+
+# Known contingencies:
+# - If v5 fails to COMPILE on Mosaic, the likely culprit is the dynamic
+#   scratch read `xp_ref[pl.ds(i*block_q, ...)]` in the projin variant.
+#   Fix: stream the raw-x q-block as a third operand with BlockSpec
+#   ((1, block_q, c_in), (bi, i, 0)) and recompute xp per block (~1 ms
+#   extra proj FLOPs), or flip TVI_DISABLE_V5_PROJIN.
+# - If the 4D kernels fail, the culprit is the in-VMEM (F, bp) swapaxes;
+#   they are opt-in — leave TVI_TEMPORAL_4D unset.
