@@ -1461,10 +1461,6 @@ GROUPS["round3"] = ["fused_temporal_320", "unfused_temporal_320",
                     "fused_temporal_640", "fused_temporal_1280"]
 
 
-if __name__ == "__main__":
-    main()
-
-
 def bench_v5(name, b=50, s=9216, heads=5, c=0, c_in=0, iters=10):
     """v5 whole-sublayer kernel (LN + QKV + flash + out-proj + residual,
     optional in-kernel proj_in) at the model's spatial shapes."""
@@ -1820,3 +1816,5 @@ def check_out4d(name, b=2, f=25, s=512, c=320, heads=5, s_ctx=2):
 
 
 exp("out4d_check")(lambda: check_out4d("out4d_check"))
+if __name__ == "__main__":
+    main()
