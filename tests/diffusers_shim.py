@@ -359,6 +359,205 @@ class TemporalConvLayer(nn.Module):
         raise NotImplementedError("only used by unreachable *3D blocks")
 
 
+# ---------------------------------------------------------------------------
+# faithful torch VAE (AutoencoderKLTemporalDecoder) assembly
+#
+# The reference loads the SVD VAE from the installed diffusers package
+# (src/train.py:262-266), which this image does not have.  These classes
+# re-state the diffusers 0.24 AutoencoderKLTemporalDecoder in torch,
+# reusing the reference's OWN vendored MidBlockTemporalDecoder /
+# UpBlockTemporalDecoder / Attention (models/unet_3d_blocks.py:1759-1871,
+# models/attention_processor.py) for everything the reference vendors, so
+# tests/test_reference_models.py can oracle the flax VAE against live torch
+# code.  Construct via build_autoencoder_kl_temporal_decoder() AFTER
+# install().
+# ---------------------------------------------------------------------------
+
+
+class DownEncoderBlock2D(nn.Module):
+    """diffusers models/vae.py DownEncoderBlock2D: N resnets (no temb) +
+    asymmetric-pad stride-2 downsample conv (Downsample2D padding=0 branch)."""
+
+    def __init__(self, in_channels, out_channels, num_layers=2,
+                 add_downsample=True):
+        super().__init__()
+        self.resnets = nn.ModuleList([
+            ResnetBlock2D(in_channels=in_channels if i == 0 else out_channels,
+                          out_channels=out_channels, temb_channels=None,
+                          eps=1e-6, groups=32)
+            for i in range(num_layers)
+        ])
+        self.downsamplers = None
+        if add_downsample:
+            ds = nn.Module()
+            ds.conv = nn.Conv2d(out_channels, out_channels, 3, stride=2,
+                                padding=0)
+            self.downsamplers = nn.ModuleList([ds])
+
+    def forward(self, x):
+        for resnet in self.resnets:
+            x = resnet(x, None)
+        if self.downsamplers is not None:
+            x = F.pad(x, (0, 1, 0, 1), mode="constant", value=0)
+            x = self.downsamplers[0].conv(x)
+        return x
+
+
+def _make_vae_classes():
+    """Build the torch VAE classes; deferred because they use the vendored
+    Attention from /root/reference/src/models/attention_processor.py."""
+    from models.attention_processor import Attention  # vendored reference code
+    from models.unet_3d_blocks import (  # vendored reference code
+        MidBlockTemporalDecoder,
+        UpBlockTemporalDecoder,
+    )
+
+    class UNetMidBlock2D(nn.Module):
+        """diffusers UNetMidBlock2D as configured by the VAE encoder:
+        resnet -> 1-head full attention (residual, group-normed) -> resnet."""
+
+        def __init__(self, in_channels):
+            super().__init__()
+            self.resnets = nn.ModuleList([
+                ResnetBlock2D(in_channels=in_channels, out_channels=in_channels,
+                              temb_channels=None, eps=1e-6, groups=32),
+                ResnetBlock2D(in_channels=in_channels, out_channels=in_channels,
+                              temb_channels=None, eps=1e-6, groups=32),
+            ])
+            self.attentions = nn.ModuleList([
+                Attention(query_dim=in_channels, heads=1, dim_head=in_channels,
+                          eps=1e-6, norm_num_groups=32, bias=True,
+                          upcast_softmax=True, residual_connection=True)
+            ])
+
+        def forward(self, x):
+            x = self.resnets[0](x, None)
+            x = self.attentions[0](x)
+            x = self.resnets[1](x, None)
+            return x
+
+    class Encoder(nn.Module):
+        """diffusers models/vae.py Encoder with double_z=True."""
+
+        def __init__(self, in_channels=3, out_channels=4,
+                     block_out_channels=(128, 256, 512, 512),
+                     layers_per_block=2):
+            super().__init__()
+            self.conv_in = nn.Conv2d(in_channels, block_out_channels[0], 3,
+                                     stride=1, padding=1)
+            self.down_blocks = nn.ModuleList([])
+            output_channel = block_out_channels[0]
+            for i, ch in enumerate(block_out_channels):
+                input_channel = output_channel
+                output_channel = ch
+                self.down_blocks.append(DownEncoderBlock2D(
+                    input_channel, output_channel,
+                    num_layers=layers_per_block,
+                    add_downsample=i < len(block_out_channels) - 1))
+            self.mid_block = UNetMidBlock2D(block_out_channels[-1])
+            self.conv_norm_out = nn.GroupNorm(
+                num_channels=block_out_channels[-1], num_groups=32, eps=1e-6)
+            self.conv_act = nn.SiLU()
+            self.conv_out = nn.Conv2d(block_out_channels[-1],
+                                      2 * out_channels, 3, padding=1)
+
+        def forward(self, x):
+            x = self.conv_in(x)
+            for block in self.down_blocks:
+                x = block(x)
+            x = self.mid_block(x)
+            x = self.conv_norm_out(x)
+            x = self.conv_act(x)
+            return self.conv_out(x)
+
+    class TemporalDecoder(nn.Module):
+        """diffusers models/autoencoders/vae.py TemporalDecoder, built from
+        the reference's vendored temporal blocks."""
+
+        def __init__(self, in_channels=4, out_channels=3,
+                     block_out_channels=(128, 256, 512, 512),
+                     layers_per_block=2):
+            super().__init__()
+            self.layers_per_block = layers_per_block
+            self.conv_in = nn.Conv2d(in_channels, block_out_channels[-1], 3,
+                                     stride=1, padding=1)
+            self.mid_block = MidBlockTemporalDecoder(
+                num_layers=self.layers_per_block,
+                in_channels=block_out_channels[-1],
+                out_channels=block_out_channels[-1],
+                attention_head_dim=block_out_channels[-1])
+            self.up_blocks = nn.ModuleList([])
+            reversed_channels = list(reversed(block_out_channels))
+            output_channel = reversed_channels[0]
+            for i, ch in enumerate(reversed_channels):
+                prev_output_channel = output_channel
+                output_channel = ch
+                self.up_blocks.append(UpBlockTemporalDecoder(
+                    num_layers=self.layers_per_block + 1,
+                    in_channels=prev_output_channel,
+                    out_channels=output_channel,
+                    add_upsample=i < len(block_out_channels) - 1))
+            self.conv_norm_out = nn.GroupNorm(
+                num_channels=block_out_channels[0], num_groups=32, eps=1e-6)
+            self.conv_act = nn.SiLU()
+            self.conv_out = nn.Conv2d(block_out_channels[0], out_channels, 3,
+                                      padding=1)
+            self.time_conv_out = nn.Conv3d(out_channels, out_channels,
+                                           kernel_size=(3, 1, 1),
+                                           padding=(1, 0, 0))
+
+        def forward(self, sample, image_only_indicator, num_frames=1):
+            sample = self.conv_in(sample)
+            sample = self.mid_block(sample,
+                                    image_only_indicator=image_only_indicator)
+            for up_block in self.up_blocks:
+                sample = up_block(sample,
+                                  image_only_indicator=image_only_indicator)
+            sample = self.conv_norm_out(sample)
+            sample = self.conv_act(sample)
+            sample = self.conv_out(sample)
+            batch_frames, channels, height, width = sample.shape
+            batch_size = batch_frames // num_frames
+            sample = sample[None, :].reshape(
+                batch_size, num_frames, channels, height, width
+            ).permute(0, 2, 1, 3, 4)
+            sample = self.time_conv_out(sample)
+            sample = sample.permute(0, 2, 1, 3, 4).reshape(
+                batch_frames, channels, height, width)
+            return sample
+
+    class AutoencoderKLTemporalDecoder(nn.Module):
+        """encoder + quant_conv + temporal decoder (diffusers
+        AutoencoderKLTemporalDecoder: quant_conv, no post_quant_conv)."""
+
+        def __init__(self, in_channels=3, out_channels=3, latent_channels=4,
+                     block_out_channels=(128, 256, 512, 512),
+                     layers_per_block=2):
+            super().__init__()
+            self.encoder = Encoder(in_channels, latent_channels,
+                                   block_out_channels, layers_per_block)
+            self.decoder = TemporalDecoder(latent_channels, out_channels,
+                                           block_out_channels, layers_per_block)
+            self.quant_conv = nn.Conv2d(2 * latent_channels,
+                                        2 * latent_channels, 1)
+
+        def encode_moments(self, x):
+            return self.quant_conv(self.encoder(x))
+
+        def decode(self, z, num_frames):
+            ioi = torch.zeros(z.shape[0] // num_frames, num_frames,
+                              dtype=z.dtype, device=z.device)
+            return self.decoder(z, image_only_indicator=ioi,
+                                num_frames=num_frames)
+
+    return AutoencoderKLTemporalDecoder
+
+
+def build_autoencoder_kl_temporal_decoder(**kwargs) -> "nn.Module":
+    """Factory for the faithful torch SVD VAE (call after install())."""
+    return _make_vae_classes()(**kwargs)
+
+
 # --- inert stubs (imported but never executed in the ST path) --------------
 
 class _Inert:
@@ -464,6 +663,8 @@ def install() -> None:
         SAFETENSORS_WEIGHTS_NAME="diffusion_pytorch_model.safetensors",
         WEIGHTS_NAME="diffusion_pytorch_model.bin",
         _add_variant=lambda n, v=None: n,
+        _get_model_file=_Inert,
+        check_peft_version=lambda *a, **k: None,
         is_accelerate_available=lambda: False,
         is_torch_xla_available=lambda: False,
     )
@@ -477,14 +678,19 @@ def install() -> None:
     _module("diffusers.configuration_utils", ConfigMixin=ConfigMixin,
             register_to_config=register_to_config)
     _module("diffusers.loaders", UNet2DConditionLoadersMixin=type(
-        "UNet2DConditionLoadersMixin", (), {}))
-    models = _module("diffusers.models")
+        "UNet2DConditionLoadersMixin", (), {}),
+        FromOriginalControlnetMixin=type("FromOriginalControlnetMixin", (), {}))
+    # controlnet_svd.py:36 imports the UNet class from diffusers.models only
+    # for its from_unet type annotation; an inert name suffices.
+    models = _module("diffusers.models", UNetSpatioTemporalConditionModel=_Inert)
     _module("diffusers.models.activations", GEGLU=GEGLU, GELU=GELU,
             ApproximateGELU=ApproximateGELU)
     _module("diffusers.models.embeddings", TimestepEmbedding=TimestepEmbedding,
             Timesteps=Timesteps,
             SinusoidalPositionalEmbedding=SinusoidalPositionalEmbedding,
-            get_timestep_embedding=get_timestep_embedding)
+            get_timestep_embedding=get_timestep_embedding,
+            TextImageProjection=_Inert, TextImageTimeEmbedding=_Inert,
+            TextTimeEmbedding=_Inert)
     _module("diffusers.models.lora", LoRACompatibleLinear=LoRACompatibleLinear,
             LoRACompatibleConv=LoRACompatibleConv,
             LoRALinearLayer=LoRALinearLayer)
