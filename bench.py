@@ -167,8 +167,9 @@ def main():
 # previously chip-validated configuration instead of recording nothing.
 # Mirror of __graft_entry__._probe_newest_kernels — keep the two in sync.
 _SESSION4_KNOBS = {
-    "TVI_DISABLE_ATTN_V5": "1", "TVI_DISABLE_V5_PROJIN": "1",
-    "TVI_DISABLE_V5_GN": "1", "TVI_DISABLE_TEMPORAL_LN": "1",
+    # v5 (+projin/GN folds) flipped to opt-in after the round-4 chip ladder
+    # (+236 ms loss) — no longer in the default stack, so not listed here.
+    "TVI_DISABLE_TEMPORAL_LN": "1",
     "TVI_DISABLE_TEMPORAL_FFIN": "1", "TVI_DISABLE_CROSS_FF": "1",
     "TVI_TEMPORAL_INKERNEL_PAD": "0", "TVI_DISABLE_ATTN_PACKED": "1",
 }

@@ -918,6 +918,7 @@ class TestLnAttentionOutV5:
         from tvi.models.layers import Attention
 
         monkeypatch.setenv("TVI_ATTN_SHIFT", "bound_unguarded")
+        monkeypatch.setenv("TVI_ATTN_V5", "1")  # opt-in since round 4
         b, s, c, heads = 2, 512, 128, 2
         x = jax.random.normal(rng, (b, s, c))
         lns = jax.random.normal(jax.random.PRNGKey(7), (c,)) * 0.2 + 1.0
@@ -987,6 +988,8 @@ class TestLnAttentionOutV5:
         )
 
         monkeypatch.setenv("TVI_ATTN_SHIFT", "bound_unguarded")
+        monkeypatch.setenv("TVI_ATTN_V5", "1")      # opt-in since round 4
+        monkeypatch.setenv("TVI_V5_PROJIN", "1")    # proj_in fold opt-in too
         # only the v5 kernel is monkeypatched to interpret mode: keep the
         # other fused kernels (temporal sublayer, cross, whole-FF/GEGLU)
         # on their XLA fallbacks for this CPU test

@@ -550,8 +550,17 @@ class Attention(nn.Module):
             a, b_ = in_gn
             return (x.astype(jnp.float32) * a + b_).astype(self.dtype)
 
-        if in_proj is not None and os.environ.get("TVI_DISABLE_V5_PROJIN"):
-            # A/B knob: keep v5 but apply proj_in as a standalone XLA pass
+        # Round-4 chip ladder (PERF.md): the v5 whole-sublayer fold costs
+        # +236 ms/fwd and the proj_in fold +66 ms within it on real
+        # hardware — v5 is OPT-IN (TVI_ATTN_V5=1), and when opted in the
+        # proj_in fold needs its own opt-in (TVI_V5_PROJIN=1).
+        v5_opted = (os.environ.get("TVI_ATTN_V5") == "1"
+                    and not os.environ.get("TVI_DISABLE_ATTN_V5"))
+        projin_standalone = bool(os.environ.get("TVI_DISABLE_V5_PROJIN")) or (
+            v5_opted and os.environ.get("TVI_V5_PROJIN") != "1")
+        if in_proj is not None and projin_standalone:
+            # apply proj_in as a standalone XLA pass instead of the v5
+            # kernel prologue (the measured-faster configuration)
             w_in, b_in = in_proj
             if in_gn is not None:
                 hidden_states = _apply_in_gn(hidden_states)
@@ -580,7 +589,7 @@ class Attention(nn.Module):
                                      if in_proj is not None
                                      else residual.shape[-1])
                 and not os.environ.get("TVI_DISABLE_ATTN_OUT")
-                and not os.environ.get("TVI_DISABLE_ATTN_V5")
+                and v5_opted
                 and _default_attn_shift() == "bound_unguarded"):
             from tvi.ops.pallas_attention_v5 import ln_attention_out_eligible
 
