@@ -356,7 +356,12 @@ class TransformerSpatioTemporalModel(nn.Module):
                                        param_dtype=self.param_dtype,
                                        name="proj_out")
         out4d_params = None
+        # TVI_TEMPORAL_OUT4D=0 keeps the input-side 4D kernel but routes
+        # blend/proj_out through the functional tail — the out4d kernel's
+        # (bp·F, C)→(bp, F, C) epilogue reshape is unsupported by real
+        # Mosaic at F=25 (round-4 chip run), so the two sides A/B separately.
         if (os.environ.get("TVI_TEMPORAL_4D") == "1"
+                and os.environ.get("TVI_TEMPORAL_OUT4D", "1") == "1"
                 and _flash_enabled() and not serve_int8()):
             wpo, bpo = proj_out_mod(jnp.zeros((1, inner_dim), self.dtype),
                                     return_params=True)

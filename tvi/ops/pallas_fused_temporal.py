@@ -709,7 +709,17 @@ def _fused_temporal_4d_fwd(x4, emb4, fls, flb, lns, lnb, wq, wk, wv, wo, bo,
     c_out = wo.shape[-1]
     with_ln = lns is not None
     with_ffin = fw1 is not None
-    block_r = next(br for br in (512, 256, 128, 64) if s % br == 0)
+    # block_r must both tile S exactly and FIT: unlike the 3D kernel this
+    # variant additionally holds the untransposed (1, f, block_r, c) input
+    # block and its in-VMEM transpose — the round-4 chip run OOM'd at
+    # block_r=512 (153 M > 128 M) because the pick ignored VMEM entirely.
+    extra = lambda br: 2 * br * f * c * 2   # 4D input block + transposed copy
+    block_r = next(
+        (br for br in (512, 256, 128, 64)
+         if s % br == 0
+         and _vmem_bytes(br, f, c, c_out, 1, ffin=with_ffin) + extra(br)
+         < 72 * 1024 * 1024),
+        64 if s % 64 == 0 else s)
     fp = _pad_f(f)
     grid = (b, s // block_r)
     d = wq.shape[-1] // heads
