@@ -716,16 +716,19 @@ class TestFlashAttentionOut:
         assert float(jnp.abs(gw).max()) > 0
 
 
-    def test_out4d_final_output(self, rng):
+    @pytest.mark.parametrize("b,f,s", [(2, 10, 64), (1, 25, 128)])
+    def test_out4d_final_output(self, rng, b, f, s):
         """out4d variant: attn2+FF + alpha blend + proj_out + outer
         residual in one kernel, output written in the (B, F, S, C) spatial
-        view — vs the materialized reference chain."""
+        view — vs the materialized reference chain.  F=25 covers the
+        non-tile-aligned frame count (padded to the 16-sublane tile in
+        VMEM; the flat-block layout real Mosaic rejected in round 4)."""
         from tvi.ops.pallas_fused_cross import (
             cross_ff_out4d_reference,
             fused_cross_ff_out4d,
             to_head_major_ctx,
         )
-        b, f, s, c, heads, s_ctx = 2, 10, 64, 64, 1, 2
+        c, heads, s_ctx = 64, 1, 2
         inner = heads * 64
         f_inner = 4 * c
         ks = jax.random.split(rng, 14)

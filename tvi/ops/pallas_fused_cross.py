@@ -319,12 +319,23 @@ def _cross_ff_out4d_kernel(x_ref, lns_ref, lnb_ref, wq_ref, ck_ref, cv_ref,
                            bh_ref, bg_ref, w2_ref, b2_ref, wpo_ref, bpo_ref,
                            alpha_ref, sp_ref, res_ref, o_ref, *, heads: int,
                            scale: float, eps: float, ctx_valid: int,
-                           f: int, ff_chunk: int):
+                           f: int, fp: int, ff_chunk: int):
     from tvi.ops.pallas_geglu import _erf
 
-    x = x_ref[:]                                    # (bp*F, C) pixel-major
-    bm, c = x.shape
-    bp = bm // f
+    # (bp, F, C) temporal-view block; real Mosaic rejects sublane reshapes
+    # whose split/merge factor is not a multiple of the 16-sublane tile
+    # (the round-4 chip run failed on the old flat block's
+    # (bp*25, C)->(bp, 25, C) cast), so every 2D<->3D move below happens at
+    # the padded fp (multiple of 16) or with the 128-pixel bp as the merged
+    # minor — both tile-preserving.
+    x3 = x_ref[:]
+    bp = x3.shape[0]
+    c = x3.shape[-1]
+    if fp != f:  # in-VMEM frame pad; padded rows are discarded post-slice
+        x3 = jnp.concatenate(
+            [x3, jnp.zeros((bp, fp - f, c), x3.dtype)], axis=1)
+    x = x3.reshape(bp * fp, c)                      # tile-aligned collapse
+    bm = bp * fp
     h = _ln_rows(x, lns_ref[0], lnb_ref[0], eps).astype(x.dtype)
     mm = functools.partial(jax.lax.dot_general,
                            dimension_numbers=(((1,), (0,)), ((), ())),
@@ -372,8 +383,9 @@ def _cross_ff_out4d_kernel(x_ref, lns_ref, lnb_ref, wq_ref, ck_ref, cv_ref,
     t_out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
 
     # temporal -> spatial inverse transpose + alpha blend + proj_out +
-    # the transformer's outer residual
-    tt = jnp.swapaxes(t_out.reshape(bp, f, c), 0, 1)      # (F, bp, C)
+    # the transformer's outer residual.  Split sublanes at the padded fp
+    # (multiple of 16), transpose, then drop the pad on the major axis.
+    tt = jnp.swapaxes(t_out.reshape(bp, fp, c), 0, 1)[:f]  # (F, bp, C)
     a = alpha_ref[0, 0].astype(x.dtype)
     z = (a * sp_ref[0] + (1.0 - a) * tt).reshape(f * bp, c)
     o = mm(z, wpo_ref[:]) + bpo_ref[:].astype(jnp.float32)
@@ -437,11 +449,20 @@ def _cross_ff_out4d_fwd(x2, lns, lnb, wq, ctx_k, ctx_v, wo, bo, ff_lns,
         pad = ((0, 0), (0, 0), (0, CTX_PAD - s_ctx), (0, 0))
         ctx_k = jnp.pad(ctx_k, pad)
         ctx_v = jnp.pad(ctx_v, pad)
+    from tvi.ops.pallas_fused_temporal import _pad_f
+
+    fp = _pad_f(f)
     bp = next(p for p in (128, 64, 32, 16) if s % p == 0)
-    bm = bp * f
     n_sb = s // bp
     grid = (b, n_sb)
-    ff_chunk = _pick_ff_chunk(bm, f_inner)
+    ff_chunk = _pick_ff_chunk(bp * fp, f_inner)
+    # 3D temporal view: (B*S, F, C) blocks of (bp, F, C) — the trailing two
+    # block dims equal the array dims, which Mosaic allows; the frame pad to
+    # the 16-sublane tile happens in VMEM only (same construct as the fused
+    # temporal kernel's in-kernel pad).
+    x3 = x2.reshape(b * s, f, c)
+    x_spec = pl.BlockSpec((bp, f, c), lambda bi, si: (bi * n_sb + si, 0, 0),
+                          memory_space=pltpu.VMEM)
     w_spec = lambda a_: pl.BlockSpec(a_.shape, lambda bi, si: (0,) * a_.ndim,
                                      memory_space=pltpu.VMEM)
     wh, wg = fw1[:, :f_inner], fw1[:, f_inner:]
@@ -455,11 +476,11 @@ def _cross_ff_out4d_fwd(x2, lns, lnb, wq, ctx_k, ctx_v, wo, bo, ff_lns,
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_cross_ff_out4d_kernel, heads=heads, scale=scale,
-                          eps=eps, ctx_valid=s_ctx, f=f, ff_chunk=ff_chunk),
+                          eps=eps, ctx_valid=s_ctx, f=f, fp=fp,
+                          ff_chunk=ff_chunk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, c), lambda bi, si: (bi * n_sb + si, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
             w_spec(lns.reshape(1, c)), w_spec(lnb.reshape(1, c)),
             w_spec(wq),
             pl.BlockSpec((1, heads, ctx_k.shape[2], d),
@@ -490,7 +511,7 @@ def _cross_ff_out4d_fwd(x2, lns, lnb, wq, ctx_k, ctx_v, wo, bo, ff_lns,
             transcendentals=b * s * f * (heads * s_ctx + 2 * f_inner),
         ),
         interpret=interpret,
-    )(x2, lns.reshape(1, c), lnb.reshape(1, c), wq, ctx_k, ctx_v, wo,
+    )(x3, lns.reshape(1, c), lnb.reshape(1, c), wq, ctx_k, ctx_v, wo,
       bo.reshape(1, c), ff_lns.reshape(1, c), ff_lnb.reshape(1, c),
       wh, wg, bh, bg, fw2, fb2.reshape(1, c), wpo,
       bpo.reshape(1, c_out), alpha_row, spatial4, res4)
@@ -499,20 +520,24 @@ def _cross_ff_out4d_fwd(x2, lns, lnb, wq, ctx_k, ctx_v, wo, bo, ff_lns,
 def cross_ff_out4d_eligible(b: int, f: int, s: int, c: int, inner: int,
                             c_out: int, s_ctx: int, ff_inner: int) -> bool:
     """Temporal attn2 + FF + blend + proj_out + residual in one kernel:
-    per-CFG-batch context, whole-pixel blocks, FF weights <= 20 MB."""
-    if s_ctx > 8 or inner % 64 or c % 8 or c_out % 8 or f % 8:
+    per-CFG-batch context, whole-pixel blocks, FF weights <= 20 MB.
+    F is padded in VMEM to the 16-sublane tile (any F <= 64 works)."""
+    if s_ctx > 8 or inner % 64 or c % 8 or c_out % 8 or f > 64:
         return False
+    from tvi.ops.pallas_fused_temporal import _pad_f
+
+    fp = _pad_f(f)
     bp = next((p for p in (128, 64, 32, 16) if s % p == 0), None)
     if bp is None or bp % 16:
         return False
-    bm = bp * f
+    bm = bp * fp
     if not _pick_ff_chunk(bm, ff_inner):
         return False
     ff_w = (c * 2 * ff_inner + ff_inner * c) * 2
     if ff_w > 20 * 1024 * 1024:
         return False
     weights = ff_w + (c * inner + inner * c + c * c_out) * 2
-    tiles = (bm * c * 2 * 4          # x, y, t_out, z
+    tiles = (bm * c * 2 * 4          # x(padded), y, t_out, z
              + 2 * f * bp * max(c, c_out) * 2    # spatial + residual blocks
              + bm * c_out * 4)
     return weights + tiles + 16 * 1024 * 1024 < 88 * 1024 * 1024
