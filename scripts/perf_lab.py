@@ -1738,6 +1738,13 @@ exp("unet_fwd_4d")(lambda: bench_unet_fwd(
     "unet_fwd_4d", env={"TVI_TEMPORAL_4D": "1"}))
 
 
+# input-side 4D kernel alone (blend/proj_out stay on the functional tail):
+# isolates the two transposed-IO kernels in the A/B ladder
+exp("unet_fwd_4d_in")(lambda: bench_unet_fwd(
+    "unet_fwd_4d_in", env={"TVI_TEMPORAL_4D": "1",
+                           "TVI_TEMPORAL_OUT4D": "0"}))
+
+
 def check_temporal_4d(name, b=2, f=25, s=512, c=320, heads=5):
     """TPU parity: untransposed 4D input + in-kernel emb-add/relayout."""
     from tvi.ops.pallas_fused_temporal import (
