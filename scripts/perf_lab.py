@@ -768,7 +768,7 @@ exp("unet_fwd_noflat")(lambda: bench_unet_fwd(
     "unet_fwd_noflat", env={"TVI_TEMPORAL_FLAT": "0"}))
 
 
-def bench_attn_out(name, b=50, s=9216, heads=5, c=0, iters=10):
+def bench_attn_out(name, b=50, s=9216, heads=5, c=0, iters=10, block_q=0):
     """Spatial v4 kernel (attention + fused out-proj/residual epilogue) at
     the model's spatial shapes."""
     from tvi.ops.pallas_attention_out import flash_attention_out
@@ -788,7 +788,7 @@ def bench_attn_out(name, b=50, s=9216, heads=5, c=0, iters=10):
     def run(q, k, v, x, wo, bo):
         def body(i, cur):
             out = flash_attention_out(q, k, v, cur, wo, bo, heads=heads,
-                                      scale=64 ** -0.5)
+                                      scale=64 ** -0.5, block_q=block_q)
             return (0.99 * out).astype(cur.dtype)
         return jax.lax.fori_loop(0, iters, body, x)
 
@@ -807,6 +807,15 @@ exp("attn_out_640")(lambda: bench_attn_out(
     "attn_out_640 (50,2304,i640)", s=2304, heads=10))
 exp("attn_out_1280")(lambda: bench_attn_out(
     "attn_out_1280 (50,576,i1280)", s=576, heads=20))
+
+# block_q sweep on the default v4 kernel (BLOCK_Q=256): the level-0 shape
+# is the biggest step bucket (518 ms spatial attention at 80.8 TF/s vs the
+# ~98 TF/s d=64 ceiling) — probe whether a bigger/smaller q block moves
+# the kernel rate before touching the kernel itself.
+for _bq in (128, 192, 384, 512, 768):
+    exp(f"attn_out_320_bq{_bq}")(functools.partial(
+        bench_attn_out, f"attn_out_320_bq{_bq} (50,9216,i320)",
+        block_q=_bq))
 
 
 exp("mmp_8k")(lambda: bench_mm_pallas("mmp_8k", 8192, 8192, 8192))
