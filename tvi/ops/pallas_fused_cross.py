@@ -386,8 +386,12 @@ def _cross_ff_out4d_kernel(x_ref, lns_ref, lnb_ref, wq_ref, ck_ref, cv_ref,
     # the transformer's outer residual.  Split sublanes at the padded fp
     # (multiple of 16), transpose, then drop the pad on the major axis.
     tt = jnp.swapaxes(t_out.reshape(bp, fp, c), 0, 1)[:f]  # (F, bp, C)
-    a = alpha_ref[0, 0].astype(x.dtype)
-    z = (a * sp_ref[0] + (1.0 - a) * tt).reshape(f * bp, c)
+    # scalar blend factors in fp32: Mosaic cannot legalize scalar bf16
+    # arith (the round-4 re-gate failed on the bf16 `1.0 - a` subf)
+    a32 = alpha_ref[0, 0]
+    a = a32.astype(x.dtype)
+    om = (1.0 - a32).astype(x.dtype)
+    z = (a * sp_ref[0] + om * tt).reshape(f * bp, c)
     o = mm(z, wpo_ref[:]) + bpo_ref[:].astype(jnp.float32)
     o = o + res_ref[0].reshape(f * bp, -1).astype(jnp.float32)
     o_ref[0] = o.reshape(f, bp, -1).astype(o_ref.dtype)
