@@ -812,10 +812,20 @@ exp("attn_out_1280")(lambda: bench_attn_out(
 # is the biggest step bucket (518 ms spatial attention at 80.8 TF/s vs the
 # ~98 TF/s d=64 ceiling) — probe whether a bigger/smaller q block moves
 # the kernel rate before touching the kernel itself.
-for _bq in (128, 192, 384, 512, 768):
+for _bq in (64, 96, 128, 192, 384, 512, 768):
     exp(f"attn_out_320_bq{_bq}")(functools.partial(
         bench_attn_out, f"attn_out_320_bq{_bq} (50,9216,i320)",
         block_q=_bq))
+# same sweep at the other two level shapes (separate optima: the logits
+# tile is (BQ, S) fp32 — S and head count change the VMEM pressure)
+for _bq in (64, 96, 128, 192, 256):
+    exp(f"attn_out_640_bq{_bq}")(functools.partial(
+        bench_attn_out, f"attn_out_640_bq{_bq} (50,2304,i640)",
+        s=2304, heads=10, block_q=_bq))
+for _bq in (64, 96, 144, 192, 288):
+    exp(f"attn_out_1280_bq{_bq}")(functools.partial(
+        bench_attn_out, f"attn_out_1280_bq{_bq} (50,576,i1280)",
+        s=576, heads=20, block_q=_bq))
 
 
 exp("mmp_8k")(lambda: bench_mm_pallas("mmp_8k", 8192, 8192, 8192))
