@@ -172,6 +172,10 @@ _SESSION4_KNOBS = {
     "TVI_DISABLE_TEMPORAL_LN": "1",
     "TVI_DISABLE_TEMPORAL_FFIN": "1", "TVI_DISABLE_CROSS_FF": "1",
     "TVI_TEMPORAL_INKERNEL_PAD": "0", "TVI_DISABLE_ATTN_PACKED": "1",
+    # round-4 session-4 default flips: transposed-IO temporal kernels
+    # (chip-gated + unet_fwd −17 ms; TPU-gated default in
+    # tvi/ops/attention.py::temporal_4d_enabled)
+    "TVI_TEMPORAL_4D": "0",
 }
 
 # A backend-init / tunnel failure is not fixable by any kernel knob; flipping

@@ -802,6 +802,50 @@ def bench_attn_out(name, b=50, s=9216, heads=5, c=0, iters=10, block_q=0):
     report(name, dt, flops)
 
 
+def bench_attn_out_packed(name, b=50, s=9216, heads=5, c=0, iters=10,
+                          block_q=0):
+    """The DEFAULT serving variant: fused-QKV (B,S,3*inner) buffer in, per-
+    head slices taken in-kernel (flash_attention_out_packed).  Its VMEM
+    profile differs from the split kernel (full-S 3*inner resident block),
+    so the block_q optimum must be measured here, not inferred."""
+    from tvi.ops.pallas_attention_out import flash_attention_out_packed
+
+    c = c or heads * 64
+    inner = heads * 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    mk = lambda i, shape, sc=1.0: (jax.random.normal(ks[i], shape, jnp.bfloat16) * sc)
+    qkv = mk(0, (b, s, 3 * inner), 0.3)
+    x = mk(1, (b, s, c))
+    wo = mk(2, (inner, c), inner ** -0.5)
+    bo = jnp.zeros((c,), jnp.bfloat16)
+
+    @jax.jit
+    def run(qkv, x, wo, bo):
+        def body(i, cur):
+            out = flash_attention_out_packed(qkv, cur, wo, bo, heads=heads,
+                                             scale=64 ** -0.5,
+                                             block_q=block_q)
+            return (0.99 * out).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(qkv, x, wo, bo)
+    float(jnp.float32(out[0, 0, 0]))
+    t0 = time.perf_counter()
+    out = run(qkv, x, wo, bo)
+    float(jnp.float32(out[0, 0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    flops = 2 * 2 * b * s * s * inner + 2 * b * s * inner * c
+    report(name, dt, flops)
+
+
+for _bq in (128, 192, 256):
+    exp(f"attn_outp_320_bq{_bq}")(functools.partial(
+        bench_attn_out_packed, f"attn_outp_320_bq{_bq} (50,9216,i320)",
+        block_q=_bq))
+    exp(f"attn_outp_640_bq{_bq}")(functools.partial(
+        bench_attn_out_packed, f"attn_outp_640_bq{_bq} (50,2304,i640)",
+        s=2304, heads=10, block_q=_bq))
+
 exp("attn_out_320")(lambda: bench_attn_out("attn_out_320 (50,9216,i320)"))
 exp("attn_out_640")(lambda: bench_attn_out(
     "attn_out_640 (50,2304,i640)", s=2304, heads=10))

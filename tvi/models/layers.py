@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tvi.ops.attention import dot_product_attention
+from tvi.ops.attention import dot_product_attention, temporal_4d_enabled
 
 
 def gn_groups(channels: int, target: int = 32) -> int:
@@ -660,13 +660,14 @@ class Attention(nn.Module):
             pre_ff = None
             in_4d = None      # the 4D view no longer matches hidden_states
 
-        # untransposed 4D input (opt-in TVI_TEMPORAL_4D=1): the kernel
-        # absorbs the frame-pos emb add and the spatial->temporal relayout;
-        # the caller's materialized transpose (hidden_states) is then only
-        # consumed for trace-time shapes and XLA dead-code-eliminates it
+        # untransposed 4D input (default-on on TPU, kill switch
+        # TVI_TEMPORAL_4D=0): the kernel absorbs the frame-pos emb add and
+        # the spatial->temporal relayout; the caller's materialized
+        # transpose (hidden_states) is then only consumed for trace-time
+        # shapes and XLA dead-code-eliminates it
         fused_temporal_4d_ok = False
         if (in_4d is not None and fused_temporal_ln_ok
-                and os.environ.get("TVI_TEMPORAL_4D") == "1"):
+                and temporal_4d_enabled()):
             from tvi.ops.pallas_fused_temporal import (
                 fused_temporal_4d_eligible,
             )
@@ -766,7 +767,7 @@ class Attention(nn.Module):
                 ffp = (post_ff[0], post_ff[1], cast(post_ff[2]),
                        cast(post_ff[3]), cast(post_ff[4]), cast(post_ff[5]))
             if (out4d is not None and fused_cross_ff
-                    and os.environ.get("TVI_TEMPORAL_4D") == "1"):
+                    and temporal_4d_enabled()):
                 # temporal attn2+FF + blend + proj_out + outer residual in
                 # one kernel, output written in the (B, F, S, C) spatial
                 # view — the caller detects the 4D result and skips its

@@ -37,7 +37,7 @@ from tvi.models.layers import (
     gn_groups,
     serve_int8,
 )
-from tvi.ops.attention import temporal_bias_mask
+from tvi.ops.attention import temporal_4d_enabled, temporal_bias_mask
 from tvi.utils.ablate import ablated
 
 
@@ -348,7 +348,8 @@ class TransformerSpatioTemporalModel(nn.Module):
         # used inside the block loop, transformer_temporal.py:246,349)
         mixer = AlphaBlender(alpha=0.5, param_dtype=self.param_dtype, name="time_mixer")
 
-        # opt-in TVI_TEMPORAL_4D: extract proj_out weights + blend alpha so
+        # 4D transposed-IO (default-on on TPU, kill switch
+        # TVI_TEMPORAL_4D=0): extract proj_out weights + blend alpha so
         # the LAST layer's temporal attn2+FF kernel can write the FINAL
         # transformer output (blend + proj_out + outer residual folded);
         # the fallbacks apply the same raw params manually — same tree.
@@ -360,7 +361,7 @@ class TransformerSpatioTemporalModel(nn.Module):
         # blend/proj_out through the functional tail — the out4d kernel's
         # (bp·F, C)→(bp, F, C) epilogue reshape is unsupported by real
         # Mosaic at F=25 (round-4 chip run), so the two sides A/B separately.
-        if (os.environ.get("TVI_TEMPORAL_4D") == "1"
+        if (temporal_4d_enabled()
                 and os.environ.get("TVI_TEMPORAL_OUT4D", "1") == "1"
                 and _flash_enabled() and not serve_int8()):
             wpo, bpo = proj_out_mod(jnp.zeros((1, inner_dim), self.dtype),
@@ -382,7 +383,7 @@ class TransformerSpatioTemporalModel(nn.Module):
             # the emb-add and the relayout (in-VMEM transpose), and this
             # XLA transpose pass is dead-code-eliminated.
             x4 = None
-            if (os.environ.get("TVI_TEMPORAL_4D") == "1"
+            if (temporal_4d_enabled()
                     and _flash_enabled() and not serve_int8()):
                 x4 = (hidden_states.reshape(batch_size, num_frames,
                                             height * width, inner_dim),

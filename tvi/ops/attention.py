@@ -18,6 +18,7 @@ folded next to the feature dim so XLA keeps the matmuls MXU-shaped.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -36,6 +37,20 @@ def set_flash_attention(enabled: Optional[bool]):
 def _flash_enabled() -> bool:
     if _USE_FLASH is not None:
         return _USE_FLASH
+    return jax.default_backend() not in ("cpu",)
+
+
+def temporal_4d_enabled() -> bool:
+    """Transposed-IO temporal kernels (4D in / out4d): DEFAULT-ON on
+    accelerators after the round-4 chip A/B (unet_fwd −17 ms/fwd, chip
+    parity gates green — PERF.md r4 session 3/4); kill switch
+    TVI_TEMPORAL_4D=0 (sub-knob TVI_TEMPORAL_OUT4D=0 keeps only the
+    input-side kernel).  Stays OFF on CPU unless explicitly opted in, so
+    the golden/interpret test path is bit-identical even when tests force
+    flash on (set_flash_attention(True))."""
+    v = os.environ.get("TVI_TEMPORAL_4D")
+    if v is not None:
+        return v == "1"
     return jax.default_backend() not in ("cpu",)
 
 

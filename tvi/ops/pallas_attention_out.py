@@ -214,6 +214,13 @@ def attention_out_packed_eligible(b: int, s: int, inner: int, c_out: int,
     """Packed variant needs unpadded S: whole blocks and 128-lane K/V."""
     if not attention_out_eligible(b, s, s, inner, c_out, heads):
         return False
+    # Round-4 chip sweep: at S>=4608 the packed kernel is bq-flat and ~8
+    # ms/call slower than the split kernel at bq128 (71.7 vs 63.8 ms at
+    # (50,9216,i320)) — more than the ~3.5 ms/call XLA qkv-split tax the
+    # packed layout avoids.  Prefer the split kernel at large S; packed
+    # stays the winner at S=2304 (11.65 packed vs 11.25+1.75 split+tax).
+    if s >= 4608:
+        return False
     bq = _pick_block_q(s)
     if s % 128 or bq % 128:
         return False
@@ -243,7 +250,13 @@ def flash_attention_out(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _pick_block_q(s: int) -> int:
-    for bq in (BLOCK_Q, 192, 128, 96, 64, 32, 16, 8):
+    # Round-4 chip sweep (PERF.md r4 session 4): at large S the (BQ, S)
+    # fp32 logits/p tiles dominate VMEM pipelining — at S=9216 bq128 runs
+    # 8% faster than bq256 (86.7 vs 79.6 TF/s); at S=2304 bq256 and S=576
+    # bq192 stay the winners.
+    ladder = ((128, 96, 64, 32, 16, 8) if s >= 4608
+              else (BLOCK_Q, 192, 128, 96, 64, 32, 16, 8))
+    for bq in ladder:
         if s % bq == 0:
             return bq
     return 0
