@@ -174,8 +174,10 @@ _SESSION4_KNOBS = {
     "TVI_TEMPORAL_INKERNEL_PAD": "0", "TVI_DISABLE_ATTN_PACKED": "1",
     # round-4 session-4 default flips: transposed-IO temporal kernels
     # (chip-gated + unet_fwd −17 ms; TPU-gated default in
-    # tvi/ops/attention.py::temporal_4d_enabled)
+    # tvi/ops/attention.py::temporal_4d_enabled) and the LN+QKV+split
+    # streaming kernel feeding the split spatial-attention path
     "TVI_TEMPORAL_4D": "0",
+    "TVI_DISABLE_QKV_LN": "1",
 }
 
 # A backend-init / tunnel failure is not fixable by any kernel knob; flipping

@@ -1886,5 +1886,74 @@ def check_out4d(name, b=2, f=25, s=512, c=320, heads=5, s_ctx=2):
 
 
 exp("out4d_check")(lambda: check_out4d("out4d_check"))
+
+
+def check_qkv_ln(name, b=2, s=2304, c=320, heads=5):
+    """TPU parity: LN + fused-QKV + split + k-norm streaming kernel
+    (tvi/ops/pallas_attention_out.py::ln_qkv_split) vs its XLA reference."""
+    from tvi.ops.pallas_attention_out import _ln_qkv_split_fwd, ln_qkv_reference
+
+    inner = heads * 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    mk = lambda i, shape, sc=1.0: (jax.random.normal(ks[i], shape, jnp.bfloat16) * sc)
+    x = mk(0, (b, s, c))
+    lns = (mk(1, (c,), 0.2) + 1.0).astype(jnp.float32)
+    lnb = mk(2, (c,), 0.2).astype(jnp.float32)
+    wq = mk(3, (c, inner), c ** -0.5)
+    wk = mk(4, (c, inner), c ** -0.5)
+    wv = mk(5, (c, inner), c ** -0.5)
+    got = _ln_qkv_split_fwd(x, lns, lnb, wq, wk, wv, heads=heads)
+    want = ln_qkv_reference(x, lns, lnb, wq, wk, wv, heads=heads)
+    worst = 0.0
+    for g, w in zip(got, want):
+        err = float(jnp.max(jnp.abs(g.astype(jnp.float32)
+                                    - w.astype(jnp.float32))))
+        ref = float(jnp.max(jnp.abs(w.astype(jnp.float32))))
+        worst = max(worst, err / max(ref, 1e-6))
+    print(f"[{name}] worst rel err {worst:.5f} "
+          f"{'OK' if worst < 0.05 else 'MISMATCH'}", flush=True)
+
+
+exp("qkv_ln_check")(lambda: check_qkv_ln("qkv_ln_check"))
+
+
+def bench_qkv_ln(name, b=50, s=9216, c=320, heads=5, iters=10, fused=True):
+    """The level-0 attention feed chain: norm1 + fused-QKV projection +
+    split + k-norm — as the streaming kernel (fused=True) vs the XLA chain
+    it replaces.  Timed via a dependency-carrying loop."""
+    from tvi.ops.pallas_attention_out import _ln_qkv_split_fwd, ln_qkv_reference
+
+    inner = heads * 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    mk = lambda i, shape, sc=1.0: (jax.random.normal(ks[i], shape, jnp.bfloat16) * sc)
+    x = mk(0, (b, s, c))
+    lns = (mk(1, (c,), 0.2) + 1.0).astype(jnp.float32)
+    lnb = mk(2, (c,), 0.2).astype(jnp.float32)
+    wq = mk(3, (c, inner), c ** -0.5)
+    wk = mk(4, (c, inner), c ** -0.5)
+    wv = mk(5, (c, inner), c ** -0.5)
+    fn = _ln_qkv_split_fwd if fused else ln_qkv_reference
+
+    @jax.jit
+    def run(x, lns, lnb, wq, wk, wv):
+        def body(i, cur):
+            q, k, v, kn = fn(cur, lns, lnb, wq, wk, wv, heads=heads)
+            return (cur + 0.0001 * (q + k + v) * kn[:, :, :1]).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(x, lns, lnb, wq, wk, wv)
+    float(jnp.float32(out[0, 0, 0]))
+    t0 = time.perf_counter()
+    out = run(x, lns, lnb, wq, wk, wv)
+    float(jnp.float32(out[0, 0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * 3 * b * s * c * inner)
+
+
+exp("qkv_ln_320")(lambda: bench_qkv_ln("qkv_ln_320 (50,9216,c320)"))
+exp("qkv_ln_320_xla")(lambda: bench_qkv_ln("qkv_ln_320_xla (XLA chain)",
+                                           fused=False))
+exp("unet_fwd_noqkvln")(lambda: bench_unet_fwd(
+    "unet_fwd_noqkvln", env={"TVI_DISABLE_QKV_LN": "1"}))
 if __name__ == "__main__":
     main()

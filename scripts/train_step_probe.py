@@ -26,6 +26,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
+    # match the trainer CLIs' default: 4D temporal kernels off in training
+    # (their chunked-reference VJP measured +0.14 s/step — PERF.md r4 s4)
+    os.environ.setdefault("TVI_TEMPORAL_4D", "0")
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--batch", type=int, default=2)

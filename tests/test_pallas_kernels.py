@@ -608,6 +608,95 @@ class TestFlashAttentionOut:
         assert not attention_out_eligible(50, 9216, 9216, 320, 320, 4)  # d!=64
         assert not attention_out_eligible(50, 100, 100, 320, 320, 5)    # tiny S
 
+    @pytest.mark.parametrize("b,s,heads,c", [
+        (2, 512, 2, 128),
+        (2, 576, 5, 320),     # odd-S pick (bm=576), level-0 widths
+        (1, 768, 5, 320),
+    ])
+    def test_ln_qkv_split_parity(self, rng, b, s, heads, c):
+        """LN + fused-QKV + split + k-norm streaming kernel vs its XLA
+        reference (tvi/ops/pallas_attention_out.py::ln_qkv_split)."""
+        from tvi.ops.pallas_attention_out import (
+            _ln_qkv_split_fwd,
+            ln_qkv_reference,
+        )
+        inner = heads * 64
+        ks = jax.random.split(rng, 6)
+        x = jax.random.normal(ks[0], (b, s, c))
+        lns = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+        lnb = 0.1 * jax.random.normal(ks[2], (c,))
+        mk = lambda i: jax.random.normal(ks[i], (c, inner)) * c ** -0.5
+        wq, wk, wv = mk(3), mk(4), mk(5)
+        got = _ln_qkv_split_fwd(x, lns, lnb, wq, wk, wv, heads=heads,
+                                interpret=True)
+        want = ln_qkv_reference(x, lns, lnb, wq, wk, wv, heads=heads)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=2e-5, rtol=2e-5)
+
+    def test_ln_qkv_split_feeds_attention(self, rng):
+        """External knorm path: flash_attention_out(knorm=...) must match
+        the internally-reduced knorm bit-for-bit."""
+        from tvi.ops.pallas_attention_out import (
+            flash_attention_out,
+            ln_qkv_split,
+        )
+        b, s, heads, c = 1, 512, 2, 128
+        inner = heads * 64
+        ks = jax.random.split(rng, 7)
+        x = jax.random.normal(ks[0], (b, s, c))
+        lns = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+        lnb = 0.1 * jax.random.normal(ks[2], (c,))
+        mk = lambda i: jax.random.normal(ks[i], (c, inner)) * c ** -0.5
+        wq, wk, wv = mk(3), mk(4), mk(5)
+        wo = jax.random.normal(ks[6], (inner, c)) * inner ** -0.5
+        bo = jnp.zeros((c,))
+        q, k, v, kn = ln_qkv_split(x, lns, lnb, wq, wk, wv, heads=heads,
+                                   interpret=True)
+        ext = flash_attention_out(q, k, v, x, wo, bo, heads=heads,
+                                  scale=64 ** -0.5, knorm=kn, interpret=True)
+        internal = flash_attention_out(q, k, v, x, wo, bo, heads=heads,
+                                       scale=64 ** -0.5, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ext), np.asarray(internal))
+
+    def test_ln_qkv_split_grads_match_reference(self, rng):
+        from tvi.ops.pallas_attention_out import (
+            ln_qkv_reference,
+            ln_qkv_split,
+        )
+        b, s, heads, c = 1, 256, 2, 128
+        inner = heads * 64
+        ks = jax.random.split(rng, 6)
+        x = jax.random.normal(ks[0], (b, s, c))
+        lns = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+        lnb = 0.1 * jax.random.normal(ks[2], (c,))
+        mk = lambda i: jax.random.normal(ks[i], (c, inner)) * c ** -0.5
+        wq, wk, wv = mk(3), mk(4), mk(5)
+
+        def loss(fn):
+            def inner_loss(x, lns, wq, wk):
+                q, k, v, _ = fn(x, lns, lnb, wq, wk, wv)
+                return jnp.sum(q ** 2 + 0.5 * k ** 2 - v)
+            return inner_loss
+
+        fn_fused = lambda *a: ln_qkv_split(*a, heads=heads, interpret=True)
+        fn_ref = lambda *a: ln_qkv_reference(*a, heads=heads)
+        g_fused = jax.grad(loss(fn_fused), argnums=(0, 1, 2, 3))(
+            x, lns, wq, wk)
+        g_ref = jax.grad(loss(fn_ref), argnums=(0, 1, 2, 3))(x, lns, wq, wk)
+        for gf, gr in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       atol=1e-5, rtol=1e-5)
+
+    def test_ln_qkv_eligibility(self):
+        from tvi.ops.pallas_attention_out import ln_qkv_eligible
+        assert ln_qkv_eligible(50, 9216, 320, 320, 5)    # level 0
+        assert ln_qkv_eligible(50, 2304, 640, 640, 10)   # level 1
+        assert ln_qkv_eligible(50, 576, 1280, 1280, 20)  # level 2
+        assert ln_qkv_eligible(2, 2560, 320, 320, 5)     # train geometry
+        assert not ln_qkv_eligible(50, 9216, 320, 320, 4)   # d != 64
+        assert not ln_qkv_eligible(50, 9217, 320, 320, 5)   # no block pick
+
     @pytest.mark.parametrize("b,s,heads,c_out", [(2, 512, 2, 128),
                                                  (1, 256, 5, 320)])
     def test_packed_matches_split(self, rng, b, s, heads, c_out):

@@ -691,8 +691,38 @@ class Attention(nn.Module):
             residual = hidden_states
             in_proj = None
 
+        # LN + fused-QKV + split + k-norm as ONE streaming kernel feeding
+        # the split v4 attention kernel (round-4 session 4, PERF.md): kills
+        # the norm1 M-pass, the three qkv-split slice copies and the
+        # k-norm reduction's extra k read — all serial XLA passes on a
+        # single-core chip.  Parallel row grid (no v5 KV-scratch
+        # serialization).  Kill switch: TVI_DISABLE_QKV_LN=1.
+        qkv_ln_ok = False
+        if (encoder_hidden_states is None and bias is None and not want_stats
+                and not self.residual_connection and residual_add
+                and self.norm_num_groups is None and pre_ln is not None
+                and not self.qkv_bias and not serve_int8()
+                and in_proj is None and in_gn is None and not fused_v5_ok
+                and hidden_states.ndim == 3 and hidden_states.shape[1] > 64
+                and self.dim_head == 64 and _flash_enabled()
+                and out_features == residual.shape[-1]
+                and not os.environ.get("TVI_DISABLE_ATTN_OUT")
+                and not os.environ.get("TVI_DISABLE_QKV_LN")
+                and _default_attn_shift() == "bound_unguarded"):
+            from tvi.ops.pallas_attention_out import (
+                attention_out_eligible as _ao_elig,
+                ln_qkv_eligible as _lnqkv_elig,
+            )
+
+            bsz_, seq_ = hidden_states.shape[0], hidden_states.shape[1]
+            qkv_ln_ok = (_lnqkv_elig(bsz_, seq_, hidden_states.shape[2],
+                                     inner, self.heads)
+                         and _ao_elig(bsz_, seq_, seq_, inner, out_features,
+                                      self.heads))
+
         if (pre_ln is not None and not fused_spatial_ok and not fused_cross_ok
-                and not fused_v5_ok and not fused_temporal_ln_ok):
+                and not fused_v5_ok and not fused_temporal_ln_ok
+                and not qkv_ln_ok):
             # the caller's LayerNorm (norm1/norm2) — applied functionally
             # here; the fused paths fold it into the kernels instead
             hidden_states = layer_norm(hidden_states, pre_ln[0], pre_ln[1])
@@ -862,6 +892,20 @@ class Attention(nn.Module):
                 return dense_w8a8(x, wi, ws, bias=b_, out_dtype=self.dtype)
         else:
             apply_dense = lambda x, w, b_: (x @ w if b_ is None else x @ w + b_)
+        if qkv_ln_ok:
+            from tvi.ops.pallas_attention_out import (
+                flash_attention_out,
+                ln_qkv_split,
+            )
+
+            q3, k3, v3, kn = ln_qkv_split(
+                hidden_states, pre_ln[0], pre_ln[1], wq, wk, wv,
+                heads=self.heads, eps=1e-5)
+            return flash_attention_out(
+                q3, k3, v3, residual.astype(self.dtype), wo, bo,
+                heads=self.heads, scale=self.dim_head ** -0.5,
+                residual=True, knorm=kn)
+
         if encoder_hidden_states is None and not serve_int8():
             # self-attention: ONE (C, 3*inner) projection instead of three
             # thin-N matmuls — XLA's thin-N GEMMs sit on a ~17.6 TF/s cliff

@@ -231,11 +231,14 @@ def attention_out_packed_eligible(b: int, s: int, inner: int, c_out: int,
 def flash_attention_out(q: jax.Array, k: jax.Array, v: jax.Array,
                         x_res: jax.Array, wo: jax.Array, bo: jax.Array,
                         heads: int, scale: float, residual: bool = True,
-                        block_q: int = 0,
+                        block_q: int = 0, knorm: jax.Array | None = None,
                         interpret: bool = False) -> jax.Array:
     """Differentiable wrapper: Pallas forward, reference-XLA backward with
     query-block-chunked attention (tvi/ops/diffable.py — the naive
-    reference's backward materializes (B,H,S,S) fp32 probabilities)."""
+    reference's backward materializes (B,H,S,S) fp32 probabilities).
+    ``knorm``: optional precomputed (B, 1, heads) max ||k|| (e.g. from
+    ln_qkv_split) — skips this wrapper's own XLA k-norm reduction; its
+    cotangent is zero (the bound shift cancels in the softmax)."""
     from tvi.ops.diffable import (
         chunked_attention_out_reference,
         pallas_with_reference_vjp,
@@ -246,7 +249,9 @@ def flash_attention_out(q: jax.Array, k: jax.Array, v: jax.Array,
                               block_q=block_q, interpret=interpret)
     ref = functools.partial(chunked_attention_out_reference, heads=heads,
                             scale=scale, residual=residual)
-    return pallas_with_reference_vjp(fused, ref, q, k, v, x_res, wo, bo)
+    ref7 = lambda q, k, v, x_res, wo, bo, kn: ref(q, k, v, x_res, wo, bo)
+    return pallas_with_reference_vjp(fused, ref7, q, k, v, x_res, wo, bo,
+                                     knorm)
 
 
 def _pick_block_q(s: int) -> int:
@@ -266,8 +271,9 @@ def _pick_block_q(s: int) -> int:
                                              "block_q", "interpret"))
 def _flash_attention_out_fwd(q: jax.Array, k: jax.Array, v: jax.Array,
                              x_res: jax.Array, wo: jax.Array, bo: jax.Array,
-                             heads: int, scale: float, residual: bool = True,
-                             block_q: int = 0,
+                             knorm: jax.Array | None = None,
+                             heads: int = 1, scale: float = 1.0,
+                             residual: bool = True, block_q: int = 0,
                              interpret: bool = False) -> jax.Array:
     b, sq, inner = q.shape
     sk_in = k.shape[1]
@@ -280,12 +286,14 @@ def _flash_attention_out_fwd(q: jax.Array, k: jax.Array, v: jax.Array,
         k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
     sk = k.shape[1]
-    # max_j ||k_j|| per (batch, head) — tiny XLA reduction, fuses upstream.
-    # Shaped (B, 1, heads) so the per-b block is (1, 1, heads) with both
-    # trailing dims equal to the array's (Mosaic block-shape rule).
-    knorm = jnp.max(jnp.sqrt(jnp.sum(jnp.square(
-        k.astype(jnp.float32).reshape(b, sk, heads, d)), axis=-1)),
-        axis=1)[:, None, :]                                 # (B, 1, heads)
+    if knorm is None:
+        # max_j ||k_j|| per (batch, head) — tiny XLA reduction, fuses
+        # upstream.  Shaped (B, 1, heads) so the per-b block is
+        # (1, 1, heads) with both trailing dims equal to the array's
+        # (Mosaic block-shape rule).
+        knorm = jnp.max(jnp.sqrt(jnp.sum(jnp.square(
+            k.astype(jnp.float32).reshape(b, sk, heads, d)), axis=-1)),
+            axis=1)[:, None, :]                             # (B, 1, heads)
     grid = (b, sq // block_q)
     kernel = functools.partial(_attn_out_kernel, heads=heads, scale=scale,
                                kv_valid=sk_in, residual=residual)
@@ -324,6 +332,174 @@ def _flash_attention_out_fwd(q: jax.Array, k: jax.Array, v: jax.Array,
         interpret=interpret,
     )(q, k, v, knorm, x_res, wo, bo.reshape(1, c_out))
     return out
+
+
+# ---------------------------------------------------------------------------
+# LN + fused-QKV + split + k-norm streaming kernel (round-4 session 4).
+#
+# The split v4 kernel is the fastest spatial-attention kernel at large S
+# (bq128 chip sweep) but its XLA feed chain is four serial M-passes on a
+# single-core chip: norm1 (read+write), the fused (C, 3*inner) projection
+# dot, the THREE slice copies splitting the qkv buffer, and the k-norm
+# reduction's extra k read.  This kernel streams row blocks of the RAW
+# hidden states and emits q, k, v as separate outputs plus the per-(batch,
+# head) max k-norm the bound shift needs — ~2.9 GB of level-0 chain traffic
+# becomes ~1.2 GB (one read of x, one write of q/k/v).  Parallel row grid:
+# no v5-style per-batch KV scratch serialization (the construct that cost
+# +236 ms and retired v5).  Replaces the reference's norm1 + to_q/to_k/to_v
+# (vendored attention.py:84, attention_processor.py:1178) feed chain on the
+# TPU serving path.
+# ---------------------------------------------------------------------------
+
+BLOCK_M_QKV = 1024
+
+
+def _pick_block_m_qkv(s: int) -> int:
+    for bm in (BLOCK_M_QKV, 768, 576, 512, 384, 288, 256, 128, 64):
+        if s % bm == 0:
+            return bm
+    return 0
+
+
+def _ln_qkv_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
+                   q_ref, k_ref, v_ref, kn_ref, *, heads: int, eps: float):
+    i = pl.program_id(1)
+    xf = x_ref[0].astype(jnp.float32)                       # (bm, C)
+    # fast-variance LayerNorm — bit-matches tvi.models.layers.layer_norm
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+    nb = y.astype(q_ref.dtype)
+    dot = lambda w: jax.lax.dot_general(
+        nb, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    q_ref[0] = dot(wq_ref[:]).astype(q_ref.dtype)
+    kb = dot(wk_ref[:]).astype(k_ref.dtype)
+    k_ref[0] = kb
+    v_ref[0] = dot(wv_ref[:]).astype(v_ref.dtype)
+    # per-head row norms of the bf16-rounded k (what the attention kernel
+    # will read back), reduced to a per-(batch, head) running max across
+    # the sequential row grid
+    ksq = jnp.square(kb.astype(jnp.float32))                # (bm, inner)
+    d = kb.shape[-1] // heads
+    cols = [jnp.sum(ksq[:, h * d:(h + 1) * d], axis=-1, keepdims=True)
+            for h in range(heads)]
+    hsum = cols[0] if heads == 1 else jnp.concatenate(cols, axis=1)
+    part = jnp.max(jnp.sqrt(hsum), axis=0, keepdims=True)   # (1, heads)
+
+    @pl.when(i == 0)
+    def _():
+        kn_ref[0] = part
+
+    @pl.when(i > 0)
+    def _():
+        kn_ref[0] = jnp.maximum(kn_ref[0], part)
+
+
+def ln_qkv_reference(x: jax.Array, lns: jax.Array, lnb: jax.Array,
+                     wq: jax.Array, wk: jax.Array, wv: jax.Array,
+                     heads: int, eps: float = 1e-5):
+    """Pure-XLA math of _ln_qkv_kernel — backward path + parity oracle."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * lns.astype(jnp.float32) + lnb.astype(jnp.float32)).astype(x.dtype)
+    proj = lambda w: jnp.dot(
+        y.reshape(-1, y.shape[-1]), w,
+        preferred_element_type=jnp.float32).astype(x.dtype).reshape(
+            x.shape[:-1] + (w.shape[-1],))
+    q, k, v = proj(wq), proj(wk), proj(wv)
+    b, s, inner = k.shape
+    knorm = jnp.max(jnp.sqrt(jnp.sum(jnp.square(
+        k.astype(jnp.float32).reshape(b, s, heads, inner // heads)),
+        axis=-1)), axis=1)[:, None, :]                      # (B, 1, heads)
+    return q, k, v, knorm
+
+
+def ln_qkv_split(x: jax.Array, lns: jax.Array, lnb: jax.Array,
+                 wq: jax.Array, wk: jax.Array, wv: jax.Array,
+                 heads: int, eps: float = 1e-5, block_m: int = 0,
+                 interpret: bool = False):
+    """Differentiable wrapper: Pallas forward, reference-XLA backward.
+    Returns (q, k, v, knorm); knorm is a bound-shift aid whose cotangent is
+    zero (the shift cancels in the softmax)."""
+    from tvi.ops.diffable import pallas_with_reference_vjp
+
+    fused = functools.partial(_ln_qkv_split_fwd, heads=heads, eps=eps,
+                              block_m=block_m, interpret=interpret)
+    ref = functools.partial(ln_qkv_reference, heads=heads, eps=eps)
+    return pallas_with_reference_vjp(fused, ref, x, lns, lnb, wq, wk, wv)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "eps", "block_m",
+                                             "interpret"))
+def _ln_qkv_split_fwd(x: jax.Array, lns: jax.Array, lnb: jax.Array,
+                      wq: jax.Array, wk: jax.Array, wv: jax.Array,
+                      heads: int, eps: float = 1e-5, block_m: int = 0,
+                      interpret: bool = False):
+    b, s, c = x.shape
+    inner = wq.shape[-1]
+    if not block_m:
+        block_m = _pick_block_m_qkv(s)
+    grid = (b, s // block_m)
+    kernel = functools.partial(_ln_qkv_kernel, heads=heads, eps=eps)
+    row_spec = lambda width: pl.BlockSpec(
+        (1, block_m, width), lambda bi, i: (bi, i, 0),
+        memory_space=pltpu.VMEM)
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda bi, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    q, k, v, kn = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(c),
+            const_spec((1, c)), const_spec((1, c)),
+            const_spec(wq.shape), const_spec(wk.shape), const_spec(wv.shape),
+        ],
+        out_specs=[
+            row_spec(inner), row_spec(inner), row_spec(inner),
+            pl.BlockSpec((1, 1, heads), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, inner), x.dtype),
+            jax.ShapeDtypeStruct((b, s, inner), x.dtype),
+            jax.ShapeDtypeStruct((b, s, inner), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, heads), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024),
+            # the kn output block is revisited (running max) -> the row
+            # dimension must be sequential ("arbitrary"); batches parallel
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * b * s * c * inner,
+            bytes_accessed=(b * s * c + 3 * b * s * inner) * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, lns.reshape(1, c), lnb.reshape(1, c), wq, wk, wv)
+    return q, k, v, kn
+
+
+def ln_qkv_eligible(b: int, s: int, c: int, inner: int, heads: int) -> bool:
+    """Row blocks + the three resident weights must fit VMEM; head width 64
+    keeps the k-norm slices lane-aligned."""
+    if inner % heads or (inner // heads) != 64:
+        return False
+    bm = _pick_block_m_qkv(s)
+    if not bm:
+        return False
+    vmem = (bm * c * 2 * 3              # x block bf16 (+ double buffer)
+            + 2 * bm * c * 4            # fp32 x / normed
+            + 3 * c * inner * 2         # resident weights
+            + 3 * bm * inner * 4        # fp32 accumulators
+            + 3 * bm * inner * 2 * 2)   # q/k/v out blocks (+ double buffer)
+    return vmem < 80 * 1024 * 1024
 
 
 def attention_out_eligible(b: int, sq: int, sk: int, inner: int, c_out: int,

@@ -62,6 +62,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    # training default: 4D temporal kernels off (slower chunked-reference
+    # VJP — see train_interp.main / PERF.md r4 s4); TVI_TEMPORAL_4D=1 overrides
+    os.environ.setdefault("TVI_TEMPORAL_4D", "0")
     args = parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
     json.dump(vars(args), open(os.path.join(args.output_dir, "args.json"), "w"),

@@ -118,6 +118,11 @@ def synthetic_batches(rng: np.random.RandomState, b, f, h, w,
 
 
 def main(argv=None):
+    # Training default: transposed-IO temporal kernels OFF — their chunked-
+    # reference VJP costs +0.14 s/step (+0.19 GB temps) at the full-size
+    # geometry (2.64 vs 2.50 s, PERF.md r4 s4), while the forward win is
+    # a serving-scale effect.  Override with TVI_TEMPORAL_4D=1.
+    os.environ.setdefault("TVI_TEMPORAL_4D", "0")
     args = parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "args.json"), "w") as fh:
