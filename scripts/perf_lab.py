@@ -1955,5 +1955,48 @@ exp("qkv_ln_320_xla")(lambda: bench_qkv_ln("qkv_ln_320_xla (XLA chain)",
                                            fused=False))
 exp("unet_fwd_noqkvln")(lambda: bench_unet_fwd(
     "unet_fwd_noqkvln", env={"TVI_DISABLE_QKV_LN": "1"}))
+
+
+def check_qkv_projin(name, b=2, s=2304, c=320, heads=5):
+    """TPU parity: GN-affine + proj_in + LN + QKV streaming kernel
+    (tvi/ops/pallas_attention_out.py::ln_qkv_projin) vs its XLA reference."""
+    from tvi.ops.pallas_attention_out import (
+        _ln_qkv_projin_fwd,
+        ln_qkv_projin_reference,
+    )
+
+    inner = heads * 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 10)
+    mk = lambda i, shape, sc=1.0: (jax.random.normal(ks[i], shape,
+                                                     jnp.bfloat16) * sc)
+    x = mk(0, (b, s, c))
+    ga = (1.0 + 0.1 * jax.random.normal(ks[1], (b, 1, c))).astype(jnp.float32)
+    gb = (0.1 * jax.random.normal(ks[2], (b, 1, c))).astype(jnp.float32)
+    win = mk(3, (c, c), c ** -0.5)
+    bin_ = mk(4, (c,), 0.1)
+    lns = (mk(5, (c,), 0.2) + 1.0).astype(jnp.float32)
+    lnb = mk(6, (c,), 0.2).astype(jnp.float32)
+    wq = mk(7, (c, inner), c ** -0.5)
+    wk = mk(8, (c, inner), c ** -0.5)
+    wv = mk(9, (c, inner), c ** -0.5)
+    got = _ln_qkv_projin_fwd(x, ga, gb, win, bin_, lns, lnb, wq, wk, wv,
+                             heads=heads)
+    want = ln_qkv_projin_reference(x, ga, gb, win, bin_, lns, lnb,
+                                   wq, wk, wv, heads=heads)
+    worst = 0.0
+    for g, w in zip(got, want):
+        err = float(jnp.max(jnp.abs(g.astype(jnp.float32)
+                                    - w.astype(jnp.float32))))
+        ref = float(jnp.max(jnp.abs(w.astype(jnp.float32))))
+        worst = max(worst, err / max(ref, 1e-6))
+    print(f"[{name}] worst rel err {worst:.5f} "
+          f"{'OK' if worst < 0.05 else 'MISMATCH'}", flush=True)
+
+
+exp("qkv_projin_check")(lambda: check_qkv_projin("qkv_projin_check"))
+exp("qkv_projin_check_1280")(lambda: check_qkv_projin(
+    "qkv_projin_check_1280", b=2, s=576, c=1280, heads=20))
+exp("unet_fwd_qkvprojin")(lambda: bench_unet_fwd(
+    "unet_fwd_qkvprojin", env={"TVI_QKV_PROJIN": "1"}))
 if __name__ == "__main__":
     main()

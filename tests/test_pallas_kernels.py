@@ -697,6 +697,113 @@ class TestFlashAttentionOut:
         assert not ln_qkv_eligible(50, 9216, 320, 320, 4)   # d != 64
         assert not ln_qkv_eligible(50, 9217, 320, 320, 5)   # no block pick
 
+    @pytest.mark.parametrize("b,s,heads,c", [
+        (2, 512, 2, 128),
+        (2, 576, 5, 320),     # level-2 S with level-0 widths
+        (1, 768, 5, 320),
+    ])
+    def test_ln_qkv_projin_parity(self, rng, b, s, heads, c):
+        """GN-affine + proj_in prologue variant vs its XLA reference
+        (tvi/ops/pallas_attention_out.py::ln_qkv_projin)."""
+        from tvi.ops.pallas_attention_out import (
+            _ln_qkv_projin_fwd,
+            ln_qkv_projin_reference,
+        )
+        inner = heads * 64
+        ks = jax.random.split(rng, 10)
+        x = jax.random.normal(ks[0], (b, s, c))
+        ga = 1.0 + 0.1 * jax.random.normal(ks[1], (b, 1, c))
+        gb = 0.1 * jax.random.normal(ks[2], (b, 1, c))
+        win = jax.random.normal(ks[3], (c, c)) * c ** -0.5
+        bin_ = 0.1 * jax.random.normal(ks[4], (c,))
+        lns = 1.0 + 0.1 * jax.random.normal(ks[5], (c,))
+        lnb = 0.1 * jax.random.normal(ks[6], (c,))
+        mk = lambda i: jax.random.normal(ks[i], (c, inner)) * c ** -0.5
+        wq, wk, wv = mk(7), mk(8), mk(9)
+        got = _ln_qkv_projin_fwd(x, ga, gb, win, bin_, lns, lnb, wq, wk, wv,
+                                 heads=heads, interpret=True)
+        want = ln_qkv_projin_reference(x, ga, gb, win, bin_, lns, lnb,
+                                       wq, wk, wv, heads=heads)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=2e-5, rtol=2e-5)
+
+    def test_ln_qkv_projin_matches_split_after_functional_projin(self, rng):
+        """ln_qkv_projin == (GN affine -> proj_in) applied functionally then
+        ln_qkv_split — the dispatch-equivalence the model relies on."""
+        from tvi.ops.pallas_attention_out import (
+            _ln_qkv_projin_fwd,
+            _ln_qkv_split_fwd,
+        )
+        b, s, heads, c = 1, 512, 2, 128
+        inner = heads * 64
+        ks = jax.random.split(rng, 10)
+        x = jax.random.normal(ks[0], (b, s, c))
+        ga = 1.0 + 0.1 * jax.random.normal(ks[1], (b, 1, c))
+        gb = 0.1 * jax.random.normal(ks[2], (b, 1, c))
+        win = jax.random.normal(ks[3], (c, c)) * c ** -0.5
+        bin_ = 0.1 * jax.random.normal(ks[4], (c,))
+        lns = 1.0 + 0.1 * jax.random.normal(ks[5], (c,))
+        lnb = 0.1 * jax.random.normal(ks[6], (c,))
+        mk = lambda i: jax.random.normal(ks[i], (c, inner)) * c ** -0.5
+        wq, wk, wv = mk(7), mk(8), mk(9)
+        y, q, k, v, kn = _ln_qkv_projin_fwd(
+            x, ga, gb, win, bin_, lns, lnb, wq, wk, wv,
+            heads=heads, interpret=True)
+        xg = (x.astype(jnp.float32) * ga + gb).astype(x.dtype)
+        y_fn = (jnp.einsum("bsc,cd->bsd", xg, win,
+                           preferred_element_type=jnp.float32)
+                + bin_.astype(jnp.float32)).astype(x.dtype)
+        q2, k2, v2, kn2 = _ln_qkv_split_fwd(y_fn, lns, lnb, wq, wk, wv,
+                                            heads=heads, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_fn),
+                                   atol=2e-5, rtol=2e-5)
+        for g, w in zip((q, k, v, kn), (q2, k2, v2, kn2)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=5e-5, rtol=5e-5)
+
+    def test_ln_qkv_projin_grads_match_reference(self, rng):
+        from tvi.ops.pallas_attention_out import (
+            ln_qkv_projin,
+            ln_qkv_projin_reference,
+        )
+        b, s, heads, c = 1, 256, 2, 128
+        inner = heads * 64
+        ks = jax.random.split(rng, 10)
+        x = jax.random.normal(ks[0], (b, s, c))
+        ga = 1.0 + 0.1 * jax.random.normal(ks[1], (b, 1, c))
+        gb = 0.1 * jax.random.normal(ks[2], (b, 1, c))
+        win = jax.random.normal(ks[3], (c, c)) * c ** -0.5
+        bin_ = 0.1 * jax.random.normal(ks[4], (c,))
+        lns = 1.0 + 0.1 * jax.random.normal(ks[5], (c,))
+        lnb = 0.1 * jax.random.normal(ks[6], (c,))
+        mk = lambda i: jax.random.normal(ks[i], (c, inner)) * c ** -0.5
+        wq, wk, wv = mk(7), mk(8), mk(9)
+
+        def loss(fn):
+            def inner_loss(x, win, wq):
+                y, q, k, v, _ = fn(x, ga, gb, win, bin_, lns, lnb, wq, wk, wv)
+                return jnp.sum(y ** 2 + q ** 2 + 0.5 * k ** 2 - v)
+            return inner_loss
+
+        fn_fused = lambda *a: ln_qkv_projin(*a, heads=heads, interpret=True)
+        fn_ref = lambda *a: ln_qkv_projin_reference(*a, heads=heads)
+        g_fused = jax.grad(loss(fn_fused), argnums=(0, 1, 2))(x, win, wq)
+        g_ref = jax.grad(loss(fn_ref), argnums=(0, 1, 2))(x, win, wq)
+        for gf, gr in zip(g_fused, g_ref):
+            # the cotangents are computed from the kernel's primal (one
+            # extra fp32 dot's accumulation order vs the reference)
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       atol=1e-4, rtol=2e-3)
+
+    def test_ln_qkv_projin_eligibility(self):
+        from tvi.ops.pallas_attention_out import ln_qkv_projin_eligible
+        assert ln_qkv_projin_eligible(50, 9216, 320, 320, 320, 5)
+        assert ln_qkv_projin_eligible(50, 2304, 640, 640, 640, 10)
+        assert ln_qkv_projin_eligible(50, 576, 1280, 1280, 1280, 20)
+        assert not ln_qkv_projin_eligible(50, 9216, 320, 320, 320, 4)
+        assert not ln_qkv_projin_eligible(50, 9217, 320, 320, 320, 5)
+
     @pytest.mark.parametrize("b,s,heads,c_out", [(2, 512, 2, 128),
                                                  (1, 256, 5, 320)])
     def test_packed_matches_split(self, rng, b, s, heads, c_out):

@@ -677,7 +677,38 @@ class Attention(nn.Module):
                 b4, f4, s4, c4, inner, out_features, self.qkv_bias,
                 pre_ff[4].shape[0] if fused_temporal_ffin_ok else 0)
 
-        if in_proj is not None and not fused_v5_ok:
+        # GN-affine + proj_in absorbed as the LN+QKV streaming kernel's
+        # prologue (tvi/ops/pallas_attention_out.py::ln_qkv_projin): kills
+        # the proj_in M-pass + the GN-apply materialization feeding spatial
+        # attention.  Parallel row grid — structurally unlike the v5
+        # proj_in fold that lost +66 ms on the chip.  Opt-in
+        # TVI_QKV_PROJIN=1 until the chip A/B (perf_lab unet_fwd_qkvprojin).
+        qkv_projin_ok = False
+        if (encoder_hidden_states is None and bias is None and not want_stats
+                and not self.residual_connection and residual_add
+                and self.norm_num_groups is None and pre_ln is not None
+                and not self.qkv_bias and not serve_int8()
+                and in_proj is not None and not fused_v5_ok
+                and hidden_states.ndim == 3 and hidden_states.shape[1] > 64
+                and self.dim_head == 64 and _flash_enabled()
+                and out_features == in_proj[0].shape[-1]
+                and not os.environ.get("TVI_DISABLE_ATTN_OUT")
+                and not os.environ.get("TVI_DISABLE_QKV_LN")
+                and os.environ.get("TVI_QKV_PROJIN") == "1"
+                and _default_attn_shift() == "bound_unguarded"):
+            from tvi.ops.pallas_attention_out import (
+                attention_out_eligible as _ao_elig_pi,
+                ln_qkv_projin_eligible as _lnpi_elig,
+            )
+
+            bsz_, seq_ = hidden_states.shape[0], hidden_states.shape[1]
+            qkv_projin_ok = (
+                _lnpi_elig(bsz_, seq_, hidden_states.shape[2],
+                           in_proj[0].shape[-1], inner, self.heads)
+                and _ao_elig_pi(bsz_, seq_, seq_, inner, out_features,
+                                self.heads))
+
+        if in_proj is not None and not fused_v5_ok and not qkv_projin_ok:
             # the caller's proj_in (TransformerSpatioTemporalModel) —
             # applied functionally when the v5 kernel can't absorb it;
             # identical math to the MaybeQuantDense apply it replaces
@@ -722,7 +753,7 @@ class Attention(nn.Module):
 
         if (pre_ln is not None and not fused_spatial_ok and not fused_cross_ok
                 and not fused_v5_ok and not fused_temporal_ln_ok
-                and not qkv_ln_ok):
+                and not qkv_ln_ok and not qkv_projin_ok):
             # the caller's LayerNorm (norm1/norm2) — applied functionally
             # here; the fused paths fold it into the kernels instead
             hidden_states = layer_norm(hidden_states, pre_ln[0], pre_ln[1])
@@ -892,6 +923,30 @@ class Attention(nn.Module):
                 return dense_w8a8(x, wi, ws, bias=b_, out_dtype=self.dtype)
         else:
             apply_dense = lambda x, w, b_: (x @ w if b_ is None else x @ w + b_)
+        if qkv_projin_ok:
+            from tvi.ops.pallas_attention_out import (
+                flash_attention_out,
+                ln_qkv_projin,
+            )
+
+            w_in = in_proj[0].astype(self.dtype)
+            b_in = in_proj[1].astype(self.dtype)
+            bsz_, seq_, c_in_ = hidden_states.shape
+            if in_gn is not None:
+                ga = in_gn[0].astype(jnp.float32)
+                gb_ = in_gn[1].astype(jnp.float32)
+            else:
+                # identity affine (GN already applied upstream)
+                ga = jnp.ones((bsz_, 1, c_in_), jnp.float32)
+                gb_ = jnp.zeros((bsz_, 1, c_in_), jnp.float32)
+            y3, q3, k3, v3, kn = ln_qkv_projin(
+                hidden_states, ga, gb_, w_in, b_in, pre_ln[0], pre_ln[1],
+                wq, wk, wv, heads=self.heads, eps=1e-5)
+            return flash_attention_out(
+                q3, k3, v3, y3, wo, bo,
+                heads=self.heads, scale=self.dim_head ** -0.5,
+                residual=True, knorm=kn)
+
         if qkv_ln_ok:
             from tvi.ops.pallas_attention_out import (
                 flash_attention_out,

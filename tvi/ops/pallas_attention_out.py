@@ -502,6 +502,194 @@ def ln_qkv_eligible(b: int, s: int, c: int, inner: int, heads: int) -> bool:
     return vmem < 80 * 1024 * 1024
 
 
+# ---------------------------------------------------------------------------
+# GN-affine + proj_in prologue for the LN+QKV streaming kernel (round-4
+# session 6).  After the ln_qkv_split flip the ONLY XLA passes still feeding
+# spatial attention are the transformer's GN apply + proj_in matmul (the
+# (C, C) dot the reference runs as TransformerSpatioTemporalModel.proj_in,
+# transformer_temporal.py:305,318) — a ~6.4 ms M-pass per level-0 call on
+# the input-streaming wall, plus the proj_in output read this kernel's
+# predecessor pays.  This variant reads the RAW post-GN-stats hidden rows,
+# applies the per-instance GN affine (a Pallas consumer cannot absorb an
+# XLA producer fusion — the affine would otherwise materialize), computes
+# y = GN(x) @ W_in + b_in (written out: the attention sublayer's residual),
+# then LN(y) @ Wq/Wk/Wv + the k-norm running max exactly like ln_qkv_split.
+# Parallel row grid, no KV scratch — structurally unlike the v5 proj_in
+# fold that lost +66 ms (PERF.md round-4 session 1).
+# Opt-in TVI_QKV_PROJIN=1 until the chip A/B (perf_lab unet_fwd_qkvprojin).
+# ---------------------------------------------------------------------------
+
+
+def _ln_qkv_projin_kernel(x_ref, ga_ref, gb_ref, win_ref, bin_ref,
+                          lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
+                          y_ref, q_ref, k_ref, v_ref, kn_ref,
+                          *, heads: int, eps: float):
+    i = pl.program_id(1)
+    xf = x_ref[0].astype(jnp.float32)                   # (bm, C_in)
+    # per-instance GN affine (fp32), then the bf16 cast the unfused path
+    # applies before its proj_in matmul
+    xg = (xf * ga_ref[0] + gb_ref[0]).astype(y_ref.dtype)
+    y = jax.lax.dot_general(
+        xg, win_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)            # (bm, C) fp32
+    y = y + bin_ref[:].astype(jnp.float32)
+    yb = y.astype(y_ref.dtype)
+    y_ref[0] = yb                                       # sublayer residual
+    # LN of the bf16-rounded y — matches what ln_qkv_split would read back
+    yf = yb.astype(jnp.float32)
+    mean = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(yf), axis=-1, keepdims=True) - jnp.square(mean)
+    nrm = (yf - mean) * jax.lax.rsqrt(var + eps)
+    nb = (nrm * lns_ref[0].astype(jnp.float32)
+          + lnb_ref[0].astype(jnp.float32)).astype(q_ref.dtype)
+    dot = lambda w: jax.lax.dot_general(
+        nb, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    q_ref[0] = dot(wq_ref[:]).astype(q_ref.dtype)
+    kb = dot(wk_ref[:]).astype(k_ref.dtype)
+    k_ref[0] = kb
+    v_ref[0] = dot(wv_ref[:]).astype(v_ref.dtype)
+    ksq = jnp.square(kb.astype(jnp.float32))            # (bm, inner)
+    d = kb.shape[-1] // heads
+    cols = [jnp.sum(ksq[:, h * d:(h + 1) * d], axis=-1, keepdims=True)
+            for h in range(heads)]
+    hsum = cols[0] if heads == 1 else jnp.concatenate(cols, axis=1)
+    part = jnp.max(jnp.sqrt(hsum), axis=0, keepdims=True)   # (1, heads)
+
+    @pl.when(i == 0)
+    def _():
+        kn_ref[0] = part
+
+    @pl.when(i > 0)
+    def _():
+        kn_ref[0] = jnp.maximum(kn_ref[0], part)
+
+
+def ln_qkv_projin_reference(x: jax.Array, ga: jax.Array, gb: jax.Array,
+                            win: jax.Array, bin_: jax.Array,
+                            lns: jax.Array, lnb: jax.Array,
+                            wq: jax.Array, wk: jax.Array, wv: jax.Array,
+                            heads: int, eps: float = 1e-5):
+    """Pure-XLA math of _ln_qkv_projin_kernel — backward path + oracle."""
+    b, s, c_in = x.shape
+    xg = (x.astype(jnp.float32) * ga + gb).astype(x.dtype)
+    y = jnp.dot(xg.reshape(-1, c_in), win,
+                preferred_element_type=jnp.float32)
+    y = (y + bin_.astype(jnp.float32)).astype(x.dtype)
+    y = y.reshape(b, s, win.shape[-1])
+    q, k, v, kn = ln_qkv_reference(y, lns, lnb, wq, wk, wv,
+                                   heads=heads, eps=eps)
+    return y, q, k, v, kn
+
+
+def ln_qkv_projin(x: jax.Array, ga: jax.Array, gb: jax.Array,
+                  win: jax.Array, bin_: jax.Array,
+                  lns: jax.Array, lnb: jax.Array,
+                  wq: jax.Array, wk: jax.Array, wv: jax.Array,
+                  heads: int, eps: float = 1e-5, block_m: int = 0,
+                  interpret: bool = False):
+    """Differentiable wrapper: Pallas forward, reference-XLA backward.
+    Returns (y, q, k, v, knorm): y is the proj_in output the attention
+    sublayer uses as its residual."""
+    from tvi.ops.diffable import pallas_with_reference_vjp
+
+    fused = functools.partial(_ln_qkv_projin_fwd, heads=heads, eps=eps,
+                              block_m=block_m, interpret=interpret)
+    ref = functools.partial(ln_qkv_projin_reference, heads=heads, eps=eps)
+    return pallas_with_reference_vjp(fused, ref, x, ga, gb, win, bin_,
+                                     lns, lnb, wq, wk, wv)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "eps", "block_m",
+                                             "interpret"))
+def _ln_qkv_projin_fwd(x: jax.Array, ga: jax.Array, gb: jax.Array,
+                       win: jax.Array, bin_: jax.Array,
+                       lns: jax.Array, lnb: jax.Array,
+                       wq: jax.Array, wk: jax.Array, wv: jax.Array,
+                       heads: int, eps: float = 1e-5, block_m: int = 0,
+                       interpret: bool = False):
+    b, s, c_in = x.shape
+    c = win.shape[-1]
+    inner = wq.shape[-1]
+    if not block_m:
+        block_m = _pick_block_m_qkv(s)
+    grid = (b, s // block_m)
+    kernel = functools.partial(_ln_qkv_projin_kernel, heads=heads, eps=eps)
+    row_spec = lambda width: pl.BlockSpec(
+        (1, block_m, width), lambda bi, i: (bi, i, 0),
+        memory_space=pltpu.VMEM)
+    inst_spec = pl.BlockSpec((1, 1, c_in), lambda bi, i: (bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda bi, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    y, q, k, v, kn = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(c_in),
+            inst_spec, inst_spec,
+            const_spec(win.shape), const_spec((1, c)),
+            const_spec((1, c)), const_spec((1, c)),
+            const_spec(wq.shape), const_spec(wk.shape), const_spec(wv.shape),
+        ],
+        out_specs=[
+            row_spec(c),
+            row_spec(inner), row_spec(inner), row_spec(inner),
+            pl.BlockSpec((1, 1, heads), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, c), x.dtype),
+            jax.ShapeDtypeStruct((b, s, inner), x.dtype),
+            jax.ShapeDtypeStruct((b, s, inner), x.dtype),
+            jax.ShapeDtypeStruct((b, s, inner), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, heads), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024),
+            # the kn output block is revisited (running max) -> the row
+            # dimension must be sequential ("arbitrary"); batches parallel
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * c_in * c + 2 * 3 * b * s * c * inner,
+            bytes_accessed=(b * s * c_in + b * s * c
+                            + 3 * b * s * inner) * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, ga, gb, win, bin_.reshape(1, c), lns.reshape(1, c),
+      lnb.reshape(1, c), wq, wk, wv)
+    return y, q, k, v, kn
+
+
+def ln_qkv_projin_eligible(b: int, s: int, c_in: int, c: int, inner: int,
+                           heads: int) -> bool:
+    """Row blocks + proj_in/QKV resident weights must fit VMEM; head width
+    64 keeps the k-norm slices lane-aligned."""
+    if inner % heads or (inner // heads) != 64:
+        return False
+    if c_in % 8 or c % 8:
+        # GN-affine (1, 1, C_in) blocks + y tiles want sublane-aligned
+        # widths; every UNet level (320/640/1280) satisfies this
+        return False
+    bm = _pick_block_m_qkv(s)
+    if not bm:
+        return False
+    vmem = (bm * c_in * 2 * 2           # x block bf16 (+ double buffer)
+            + 2 * bm * c_in * 4         # fp32 x / GN-applied
+            + c_in * c * 2              # resident proj_in weight
+            + bm * c * 4                # y fp32 accumulator
+            + 2 * bm * c * 4            # LN fp32 intermediates
+            + bm * c * 2 * 2            # y out block (+ double buffer)
+            + 3 * c * inner * 2         # resident QKV weights
+            + 3 * bm * inner * 4        # fp32 accumulators
+            + 3 * bm * inner * 2 * 2)   # q/k/v out blocks (+ double buffer)
+    return vmem < 80 * 1024 * 1024
+
+
 def attention_out_eligible(b: int, sq: int, sk: int, inner: int, c_out: int,
                            heads: int) -> bool:
     """Spatial self-attention shapes: d=64 heads, KV + logits fit VMEM."""
