@@ -178,6 +178,9 @@ _SESSION4_KNOBS = {
     # streaming kernel feeding the split spatial-attention path
     "TVI_TEMPORAL_4D": "0",
     "TVI_DISABLE_QKV_LN": "1",
+    # round-4 session-7/8 default flip: GN-affine + proj_in prologue on the
+    # ln_qkv_split streaming kernel (chip A/B −19.4 ms/fwd)
+    "TVI_DISABLE_QKV_PROJIN": "1",
 }
 
 # A backend-init / tunnel failure is not fixable by any kernel knob; flipping

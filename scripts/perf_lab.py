@@ -1997,6 +1997,8 @@ exp("qkv_projin_check")(lambda: check_qkv_projin("qkv_projin_check"))
 exp("qkv_projin_check_1280")(lambda: check_qkv_projin(
     "qkv_projin_check_1280", b=2, s=576, c=1280, heads=20))
 exp("unet_fwd_qkvprojin")(lambda: bench_unet_fwd(
-    "unet_fwd_qkvprojin", env={"TVI_QKV_PROJIN": "1"}))
+    "unet_fwd_qkvprojin"))  # default-on since r4s7; A/B vs _noqkvprojin
+exp("unet_fwd_noqkvprojin")(lambda: bench_unet_fwd(
+    "unet_fwd_noqkvprojin", env={"TVI_DISABLE_QKV_PROJIN": "1"}))
 if __name__ == "__main__":
     main()

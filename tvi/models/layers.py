@@ -681,8 +681,9 @@ class Attention(nn.Module):
         # prologue (tvi/ops/pallas_attention_out.py::ln_qkv_projin): kills
         # the proj_in M-pass + the GN-apply materialization feeding spatial
         # attention.  Parallel row grid — structurally unlike the v5
-        # proj_in fold that lost +66 ms on the chip.  Opt-in
-        # TVI_QKV_PROJIN=1 until the chip A/B (perf_lab unet_fwd_qkvprojin).
+        # proj_in fold that lost +66 ms on the chip.  DEFAULT-ON after the
+        # r4 s7 chip A/B (unet_fwd −19.4 ms/fwd, parity gate 0.3% — PERF.md);
+        # kill switch TVI_DISABLE_QKV_PROJIN=1.
         qkv_projin_ok = False
         if (encoder_hidden_states is None and bias is None and not want_stats
                 and not self.residual_connection and residual_add
@@ -694,7 +695,7 @@ class Attention(nn.Module):
                 and out_features == in_proj[0].shape[-1]
                 and not os.environ.get("TVI_DISABLE_ATTN_OUT")
                 and not os.environ.get("TVI_DISABLE_QKV_LN")
-                and os.environ.get("TVI_QKV_PROJIN") == "1"
+                and not os.environ.get("TVI_DISABLE_QKV_PROJIN")
                 and _default_attn_shift() == "bound_unguarded"):
             from tvi.ops.pallas_attention_out import (
                 attention_out_eligible as _ao_elig_pi,

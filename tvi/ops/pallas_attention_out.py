@@ -516,7 +516,8 @@ def ln_qkv_eligible(b: int, s: int, c: int, inner: int, heads: int) -> bool:
 # then LN(y) @ Wq/Wk/Wv + the k-norm running max exactly like ln_qkv_split.
 # Parallel row grid, no KV scratch — structurally unlike the v5 proj_in
 # fold that lost +66 ms (PERF.md round-4 session 1).
-# Opt-in TVI_QKV_PROJIN=1 until the chip A/B (perf_lab unet_fwd_qkvprojin).
+# DEFAULT-ON after the r4 s7 chip A/B (unet_fwd −19.4 ms/fwd); kill switch
+# TVI_DISABLE_QKV_PROJIN=1.
 # ---------------------------------------------------------------------------
 
 
