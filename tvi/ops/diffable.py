@@ -73,13 +73,21 @@ def sdpa_bh_reference(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def chunked_sdpa_bh_reference(q: jax.Array, k: jax.Array, v: jax.Array,
-                              scale: float, block_q: int = 512) -> jax.Array:
+                              scale: float, block_q: int = 0) -> jax.Array:
     """(BH, S, D) attention mapped over query blocks, each block wrapped in
     ``jax.checkpoint``: the VJP's live set stays one block's probabilities
     (vs the full Sq x Sk tensor), which is what keeps the full-size train
-    step's attention backward inside 16 GB."""
+    step's attention backward inside 16 GB.
+
+    TVI_VJP_BLOCK_Q tunes the block (trace-time read, same semantics as
+    TVI_ABLATE: set it before the train step is traced; probe/A-B knob,
+    never flipped mid-process).  0 = skip chunking (full reference bwd)."""
+    import os
+
+    if not block_q:
+        block_q = int(os.environ.get("TVI_VJP_BLOCK_Q", "512"))
     bh, sq, d = q.shape
-    if sq % block_q or sq == block_q:
+    if not block_q or sq % block_q or sq == block_q:
         return sdpa_bh_reference(q, k, v, scale)
 
     @jax.checkpoint
@@ -91,8 +99,16 @@ def chunked_sdpa_bh_reference(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.moveaxis(out, 0, 1).reshape(bh, sq, d)
 
 
-def _row_chunks(m: int, target: int = 16384) -> int:
-    """Largest row-block <= ~target that divides m (>=1024, else 0)."""
+def _row_chunks(m: int, target: int = 0) -> int:
+    """Largest row-block <= ~target that divides m (>=1024, else 0).
+    TVI_VJP_FF_TARGET tunes the target (trace-time probe knob, like
+    TVI_VJP_BLOCK_Q); 0 disables FF-backward chunking entirely."""
+    import os
+
+    if not target:
+        target = int(os.environ.get("TVI_VJP_FF_TARGET", "16384"))
+    if not target:
+        return 0
     nb = -(-m // target)
     while m % nb:
         nb += 1
