@@ -138,8 +138,11 @@ def main():
             return out
         return dec(z)
 
+    # average decode over the same repeat count as the step: a single warm
+    # execution read 2.36 s where every prior recording sat at 2.14-2.15
+    # (tunnel timing noise, ~0.01 f/s on the headline at repeats=1)
     decode_time = _timed(decode, vae_params,
-                         latents[0].astype(jnp.bfloat16), repeats=1)
+                         latents[0].astype(jnp.bfloat16), repeats=repeats)
 
     total = steps * step_latency + decode_time
     fps = frames / total
