@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Round-4 session-10 remat-policy ladder (phase 3 of the training-step
+# grind; phases 1-2 = scripts/r4s8_train_plan.sh).
+#
+# TVI_REMAT_POLICY selects what the per-block nn.remat saves
+# (tvi/models/unet_st.py::_remat_policy).  Baseline "full" = 2.50 s/step,
+# 14.41/15.75 GB (r4s3) — ~1.3 GB headroom to spend on saved activations
+# that skip backward recompute.  Convs are 52% of the step (r4s10 phase-1
+# decomposition), so "convs"/"convs2" attack the dominant bucket; "dots"
+# attacks transformer GEMM recompute.  Each variant is its own process
+# (trace-time knob).  A variant that doesn't fit dies at compile with
+# RESOURCE_EXHAUSTED — that is a result, record it.
+#
+# Serialized on the single chip: run only after /tmp/trainplan.pid exits.
+#   nohup ./scripts/r4s10_remat_plan.sh > /tmp/r4s10_remat_plan.log 2>&1 &
+#   echo $! > /tmp/rematplan.pid
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+run() {
+  local tag="$1"; shift
+  echo "=== [$tag] env: $* ==="
+  env "$@" timeout 1500 python scripts/train_step_probe.py 2>&1 \
+    | grep -E "step|GB|loss|OOM|RESOURCE|Error" | tail -8
+  echo "=== [$tag] done rc=$? ==="
+}
+
+run remat_convs2 TVI_REMAT_POLICY=convs2
+run remat_convs TVI_REMAT_POLICY=convs
+run remat_dots TVI_REMAT_POLICY=dots

@@ -296,3 +296,38 @@ class TestGradientCheckpointing:
         for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=1e-5, rtol=1e-5)
+
+    @pytest.mark.parametrize("mode", ["convs", "convs2", "dots"])
+    def test_remat_policy_grads_match(self, rng, monkeypatch, mode):
+        """TVI_REMAT_POLICY (unet_st._remat_policy) changes memory/time only:
+        grads under every selective-save policy equal the full-remat grads."""
+        unet_r = UNetSpatioTemporalConditionModel(
+            TINY_UNET, dtype=jnp.float32, gradient_checkpointing=True)
+        params = unet_r.init_params(rng)
+        b, f, h, w = 1, 2, 8, 8
+        sample = jax.random.normal(rng, (b, f, h, w, TINY_UNET.in_channels))
+        ctx = (jnp.ones((b, 2, TINY_UNET.cross_attention_dim)),
+               jnp.ones((b, 1, TINY_UNET.cross_attention_dim)))
+        ids = jnp.zeros((b, 3))
+
+        def grads(policy):
+            # fresh trace per policy: the knob is read at trace time
+            monkeypatch.setenv("TVI_REMAT_POLICY", policy)
+
+            def loss(p):
+                out, _ = unet_r.apply(p, sample, jnp.zeros((b,)), ctx, ids)
+                return jnp.sum(out ** 2)
+
+            return jax.grad(loss)(params)
+
+        g_full = grads("full")
+        g_mode = grads(mode)
+        for a, b_ in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_mode)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-5, rtol=1e-5)
+
+    def test_remat_policy_rejects_unknown(self, monkeypatch):
+        from tvi.models.unet_st import _remat_policy
+        monkeypatch.setenv("TVI_REMAT_POLICY", "bogus")
+        with pytest.raises(ValueError):
+            _remat_policy()

@@ -20,6 +20,19 @@ from tvi.models.layers import AlphaBlender, FusedGroupNorm, PallasConv3x3, gn_gr
 from tvi.utils.ablate import ablated
 
 
+def _ckpt_tag(x: jax.Array, name: str) -> jax.Array:
+    """``jax.ad_checkpoint.checkpoint_name`` tag for the named-save remat
+    policies (TVI_REMAT_POLICY=convs/convs2, unet_st._remat_policy).  Gated
+    on the knob at trace time so the default serving/training graphs stay
+    byte-identical when no named policy is active."""
+    import os
+
+    if "convs" in os.environ.get("TVI_REMAT_POLICY", ""):
+        from jax.ad_checkpoint import checkpoint_name
+        return checkpoint_name(x, name)
+    return x
+
+
 class TemporalConv311(nn.Module):
     """(3,1,1) conv over the frame axis of (B, F, H, W, C), computed as
     three frame-shifted matmuls instead of a 3-D convolution.
@@ -86,9 +99,11 @@ class ResnetBlock2D(nn.Module):
                                 use_silu=True, dtype=self.dtype,
                                 param_dtype=self.param_dtype, name="norm1")(
                                     x, return_params=True)
-        h = PallasConv3x3(self.out_channels, dtype=self.dtype,
+        h = _ckpt_tag(
+            PallasConv3x3(self.out_channels, dtype=self.dtype,
                           param_dtype=self.param_dtype, name="conv1")(
-                              x, gn=(s1, b1, gn_groups(in_channels), self.eps))
+                              x, gn=(s1, b1, gn_groups(in_channels), self.eps)),
+            "conv1_out")
         if temb is not None:
             temb_proj = nn.Dense(self.out_channels, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
@@ -98,9 +113,11 @@ class ResnetBlock2D(nn.Module):
                                 use_silu=True, dtype=self.dtype,
                                 param_dtype=self.param_dtype, name="norm2")(
                                     h, return_params=True)
-        h = PallasConv3x3(self.out_channels, dtype=self.dtype,
+        h = _ckpt_tag(
+            PallasConv3x3(self.out_channels, dtype=self.dtype,
                           param_dtype=self.param_dtype, name="conv2")(
-                              h, gn=(s2, b2, gn_groups(self.out_channels), self.eps))
+                              h, gn=(s2, b2, gn_groups(self.out_channels), self.eps)),
+            "conv2_out")
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         param_dtype=self.param_dtype, name="conv_shortcut")(x)
@@ -124,7 +141,7 @@ class TemporalResnetBlock(nn.Module):
         h = FusedGroupNorm(num_groups=gn_groups(in_channels), epsilon=self.eps,
                            use_silu=True, dtype=self.dtype,
                            param_dtype=self.param_dtype, name="norm1")(x)
-        h = conv3("conv1")(h)
+        h = _ckpt_tag(conv3("conv1")(h), "conv1_out")
         if temb is not None:
             # temb: (B, F, temb_ch) -> (B, F, 1, 1, C)
             temb_proj = nn.Dense(self.out_channels, dtype=self.dtype,
@@ -134,7 +151,7 @@ class TemporalResnetBlock(nn.Module):
         h = FusedGroupNorm(num_groups=gn_groups(self.out_channels), epsilon=self.eps,
                            use_silu=True, dtype=self.dtype,
                            param_dtype=self.param_dtype, name="norm2")(h)
-        h = conv3("conv2")(h)
+        h = _ckpt_tag(conv3("conv2")(h), "conv2_out")
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,
                         param_dtype=self.param_dtype, name="conv_shortcut")(x)

@@ -36,6 +36,42 @@ from tvi.models.unet_blocks import (
 )
 
 
+def _remat_policy():
+    """Rematerialization policy for the per-block ``nn.remat`` wrappers.
+
+    TVI_REMAT_POLICY is a trace-time knob (read in flax ``__call__``, like
+    TVI_ABLATE — set before the train step is traced, one process per
+    variant):
+
+    - ``full`` (default): save nothing inside a block — maximum memory
+      saving, the backward pays a full block-forward recompute.  This is
+      the configuration the 2.50 s / 14.41 GB baseline was measured at.
+    - ``convs`` / ``convs2``: additionally save every (/ only the second)
+      resnet conv output (tagged ``conv1_out``/``conv2_out`` in
+      resnet.py) — skips recomputing the conv forwards, which dominate
+      the training step (PERF.md r4 s10: convs ≈ 52%), at the cost of the
+      saved activations living until the backward.
+    - ``dots``: save dot_general outputs with no batch dims (transformer
+      GEMMs) — skips attention/FF projection recompute.
+
+    Policies change memory/time only, never values: grads are identical
+    (tests/test_train_step.py::test_remat_policy_grads_match).
+    """
+    import os
+
+    mode = os.environ.get("TVI_REMAT_POLICY", "full")
+    if mode in ("", "full"):
+        return None
+    cp = jax.checkpoint_policies
+    if mode == "convs":
+        return cp.save_only_these_names("conv1_out", "conv2_out")
+    if mode == "convs2":
+        return cp.save_only_these_names("conv2_out")
+    if mode == "dots":
+        return cp.checkpoint_dots_with_no_batch_dims
+    raise ValueError(f"TVI_REMAT_POLICY={mode!r} not in full/convs/convs2/dots")
+
+
 class UNetSpatioTemporalConditionModel(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
@@ -91,13 +127,17 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         if self.gradient_checkpointing:
             # static_argnums: num_frames / flag args; flax counts the module
             # instance itself as argument 0
+            policy = _remat_policy()
             CrossAttnDown = nn.remat(CrossAttnDownBlockSpatioTemporal,
-                                     static_argnums=(4, 5, 6))
-            Down = nn.remat(DownBlockSpatioTemporal, static_argnums=(3,))
-            Mid = nn.remat(UNetMidBlockSpatioTemporal, static_argnums=(4, 5, 6))
+                                     static_argnums=(4, 5, 6), policy=policy)
+            Down = nn.remat(DownBlockSpatioTemporal, static_argnums=(3,),
+                            policy=policy)
+            Mid = nn.remat(UNetMidBlockSpatioTemporal, static_argnums=(4, 5, 6),
+                           policy=policy)
             CrossAttnUp = nn.remat(CrossAttnUpBlockSpatioTemporal,
-                                   static_argnums=(5, 6, 7))
-            Up = nn.remat(UpBlockSpatioTemporal, static_argnums=(4,))
+                                   static_argnums=(5, 6, 7), policy=policy)
+            Up = nn.remat(UpBlockSpatioTemporal, static_argnums=(4,),
+                          policy=policy)
         else:
             CrossAttnDown = CrossAttnDownBlockSpatioTemporal
             Down = DownBlockSpatioTemporal
