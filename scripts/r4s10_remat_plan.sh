@@ -17,14 +17,17 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
+# timeout 2700: full-step (non-ablated) programs exceeded the r4s8 plan's
+# 1500 s remote-AOT budget (vjp_bq1280 died rc=124 mid-compile).
 run() {
   local tag="$1"; shift
   echo "=== [$tag] env: $* ==="
-  env "$@" timeout 1500 python scripts/train_step_probe.py 2>&1 \
+  env "$@" timeout 2700 python scripts/train_step_probe.py 2>&1 \
     | grep -E "step|GB|loss|OOM|RESOURCE|Error" | tail -8
   echo "=== [$tag] done rc=$? ==="
 }
 
+run vjp_bq1280_retry TVI_VJP_BLOCK_Q=1280
 run remat_convs2 TVI_REMAT_POLICY=convs2
 run remat_convs TVI_REMAT_POLICY=convs
 run remat_dots TVI_REMAT_POLICY=dots
