@@ -27,6 +27,10 @@ run() {
   echo "=== [$tag] done rc=$? ==="
 }
 
+# same-container baseline: the 2.50 s / 14.41 GB reference was measured in
+# an earlier container; tunnel latency differs per container (PERF.md r4s9
+# decode variance), so every A/B below compares against THIS number.
+run baseline TVI_NOOP=0
 run vjp_bq1280_retry TVI_VJP_BLOCK_Q=1280
 run remat_convs2 TVI_REMAT_POLICY=convs2
 run remat_convs TVI_REMAT_POLICY=convs
