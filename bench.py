@@ -29,9 +29,15 @@ import jax
 import jax.numpy as jnp
 
 # persistent compile cache: headline-size XLA compiles take tens of minutes
-# through the axon remote-compile tunnel; cache them across runs
+# through the axon remote-compile tunnel; cache them across runs.  The
+# default lives INSIDE the repo (not /tmp) because /tmp is wiped between
+# containers while /root/repo persists — entries proved portable
+# cross-machine in round 2 (driver-side AOT cache loads), so a committed
+# cache makes every fresh container start warm instead of paying ~35 min.
+_REPO_TPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache", "tpu")
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("TVI_JAX_CACHE", "/tmp/tvi_jax_cache_tpu"))
+                  os.environ.get("TVI_JAX_CACHE", _REPO_TPU_CACHE))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

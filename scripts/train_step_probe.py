@@ -19,8 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# repo-local default: /tmp is wiped between containers, /root/repo persists
+_REPO_TPU_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache", "tpu")
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("TVI_JAX_CACHE", "/tmp/tvi_jax_cache_tpu"))
+                  os.environ.get("TVI_JAX_CACHE", _REPO_TPU_CACHE))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

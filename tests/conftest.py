@@ -12,8 +12,13 @@ if "--xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
-# persistent compile cache makes repeated test runs cheap
-jax.config.update("jax_compilation_cache_dir", "/tmp/tvi_jax_cache")
+# persistent compile cache makes repeated test runs cheap; repo-local so a
+# fresh container (wiped /tmp) still starts warm — see bench.py for why
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("TVI_JAX_CACHE",
+                   os.path.join(os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))), ".jax_cache", "cpu")))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
