@@ -126,6 +126,23 @@ def main(argv=None):
     folders = sorted(os.listdir(args.assets)) if os.path.isdir(args.assets) else []
     folders = [f for f in folders
                if os.path.isdir(os.path.join(args.assets, f, "input_frames"))]
+    if not folders and args.tiny:
+        # self-contained smoke path: synthesize a two-frame gradient asset so
+        # `--tiny --steps 2` runs end-to-end on a fresh checkout (the
+        # reference's test.py assumes curated asset folders exist;
+        # reference src/test.py:60-84)
+        import numpy as np
+        demo = os.path.join(args.assets, "_tiny_demo", "input_frames")
+        os.makedirs(demo, exist_ok=True)
+        h = w = 64
+        yy, xx = np.meshgrid(np.linspace(0, 255, h), np.linspace(0, 255, w),
+                             indexing="ij")
+        for i, arr in enumerate((xx, yy)):
+            img = np.stack([arr, arr[::-1], np.full_like(arr, 96 + 64 * i)],
+                           -1).astype(np.uint8)
+            PIL.Image.fromarray(img).save(os.path.join(demo, f"image_{i}.png"))
+        folders = ["_tiny_demo"]
+        print(f"[test_sweep] synthesized tiny demo asset under {demo}")
     if not folders:
         raise SystemExit(f"[test_sweep] no asset folders with input_frames/ "
                          f"under {args.assets}")
