@@ -20,6 +20,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -2004,5 +2005,138 @@ exp("unet_fwd_qkvprojin")(lambda: bench_unet_fwd(
     "unet_fwd_qkvprojin"))  # default-on since r4s7; A/B vs _noqkvprojin
 exp("unet_fwd_noqkvprojin")(lambda: bench_unet_fwd(
     "unet_fwd_noqkvprojin", env={"TVI_DISABLE_QKV_PROJIN": "1"}))
+
+
+# ---------------------- round-5 prototype: Winograd conv --------------------
+# F(2x2, 3x3) Winograd: 2.25x fewer MACs than direct 3x3 (16 vs 36 per
+# output tile).  The ONLY untried FLOP-level lever on the conv bucket
+# (PERF.md round-5 queue #2).  This is the isolated prototype mandated by
+# the in-context-inversion law: prove the transform overhead is paid for
+# at the bucket's shapes BEFORE any model wiring.
+#
+# XLA formulation: the 16 per-position products are (P, Cin) @ (Cin, Cout)
+# matmuls (P = N*H/2*W/2 tiles) riding the MXU; the input/output
+# transforms are pure add/sub combinations of strided slices (VPU).  Known
+# risk (arithmetic, PERF.md): the transformed-tile tensor is 4x the input
+# bytes — if XLA materializes it in HBM the kernel is traffic-bound at
+# ~0.5 TB/s and loses to direct conv; a win requires the transforms to
+# fuse into the batched-matmul's prologue/epilogue or a Pallas mega-kernel.
+
+_WG_G = np.array([[1.0, 0.0, 0.0],
+                  [0.5, 0.5, 0.5],
+                  [0.5, -0.5, 0.5],
+                  [0.0, 0.0, 1.0]], dtype=np.float32)
+
+
+def _wg_weight_transform(w):
+    """(3,3,Cin,Cout) -> (4,4,Cin,Cout): G @ g @ G^T (fp32, tiny)."""
+    g32 = w.astype(jnp.float32)
+    return jnp.einsum("ai,bj,ijcd->abcd", _WG_G, _WG_G, g32)
+
+
+def winograd_conv3x3_xla(x, w4, b, *, mm_dtype=jnp.bfloat16, stack=True):
+    """F(2x2,3x3) same-padding conv, XLA-level.
+
+    x: (N,H,W,Cin) with H,W even; w4: pre-transformed (4,4,Cin,Cout);
+    b: (Cout,).  Transforms in the input dtype (coeffs are 0/±1 adds);
+    products accumulate fp32 on the MXU.
+    """
+    n, h, wd, cin = x.shape
+    cout = w4.shape[-1]
+    ht, wt = h // 2, wd // 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # d[i][j]: (N, Ht, Wt, Cin) strided tile slices (rows 2ty+i, cols 2tx+j)
+    d = [[xp[:, i:i + h:2, j:j + wd:2, :] for j in range(4)]
+         for i in range(4)]
+    # B^T d (rows):  t0=d0-d2  t1=d1+d2  t2=d2-d1  t3=d1-d3
+    t = [[d[0][j] - d[2][j] for j in range(4)],
+         [d[1][j] + d[2][j] for j in range(4)],
+         [d[2][j] - d[1][j] for j in range(4)],
+         [d[1][j] - d[3][j] for j in range(4)]]
+    # (B^T d) B (cols): same combination over j
+    u = [[t[a][0] - t[a][2], t[a][1] + t[a][2],
+          t[a][2] - t[a][1], t[a][1] - t[a][3]] for a in range(4)]
+    w4c = w4.astype(mm_dtype)
+    if stack:
+        up = jnp.stack([u[a][bb].reshape(n * ht * wt, cin)
+                        for a in range(4) for bb in range(4)])
+        m_flat = jnp.einsum("tpc,tcd->tpd", up.astype(mm_dtype),
+                            w4c.reshape(16, cin, cout),
+                            preferred_element_type=jnp.float32)
+        m = [[m_flat[4 * a + bb].reshape(n, ht, wt, cout) for bb in range(4)]
+             for a in range(4)]
+    else:
+        m = [[jnp.einsum("nywc,cd->nywd", u[a][bb].astype(mm_dtype),
+                         w4c[a, bb], preferred_element_type=jnp.float32)
+              for bb in range(4)] for a in range(4)]
+    # A^T m (rows): s0=m0+m1+m2  s1=m1-m2-m3
+    s = [[m[0][bb] + m[1][bb] + m[2][bb] for bb in range(4)],
+         [m[1][bb] - m[2][bb] - m[3][bb] for bb in range(4)]]
+    # (A^T m) A (cols)
+    y = [[s[uu][0] + s[uu][1] + s[uu][2],
+          s[uu][1] - s[uu][2] - s[uu][3]] for uu in range(2)]
+    out = jnp.stack([y[0][0], y[0][1], y[1][0], y[1][1]], axis=3)
+    out = out.reshape(n, ht, wt, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(n, h, wd, cout) + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def check_winograd(name, n=2, h=32, wd=64, cin=16, cout=24):
+    """Correctness vs lax direct conv (fp32, CPU-runnable)."""
+    kx = jax.random.PRNGKey(0)
+    x = jax.random.normal(kx, (n, h, wd, cin), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout),
+                          jnp.float32) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(2), (cout,), jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    for stack in (True, False):
+        got = winograd_conv3x3_xla(x, _wg_weight_transform(w), b,
+                                   mm_dtype=jnp.float32, stack=stack)
+        err = float(jnp.max(jnp.abs(got - want)))
+        ref = float(jnp.max(jnp.abs(want)))
+        print(f"[{name}] stack={stack} max rel err {err / ref:.2e} "
+              f"{'OK' if err / ref < 1e-5 else 'MISMATCH'}", flush=True)
+
+
+def bench_winograd(name, n=5, h=576, wd=1024, cin=128, cout=128, iters=10,
+                   stack=True, mm_dtype=jnp.bfloat16):
+    """Report EFFECTIVE TF/s against the direct-conv FLOP count (so the
+    number is directly comparable to conv_up3 etc.; actual MACs are /2.25)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, wd, cin),
+                          jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout),
+                          jnp.bfloat16) * 0.05
+    b = jnp.zeros((cout,), jnp.float32)
+
+    @jax.jit
+    def run(x, w, b):
+        w4 = _wg_weight_transform(w)
+        def body(i, cur):
+            y = winograd_conv3x3_xla(cur, w4, b, mm_dtype=mm_dtype,
+                                     stack=stack)
+            return (cur + 0.001 * y).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(x, w, b)
+    float(jnp.float32(out.ravel()[0]))
+    t0 = time.perf_counter()
+    out = run(x, w, b)
+    float(jnp.float32(out.ravel()[0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * n * h * wd * cin * cout * 9)
+
+
+exp("winograd_check")(lambda: check_winograd("winograd_check"))
+exp("wg_up3")(lambda: bench_winograd("wg_up3 (5,576,1024,128)"))
+exp("wg_up3_loop")(lambda: bench_winograd("wg_up3_loop", stack=False))
+exp("wg_up2")(lambda: bench_winograd("wg_up2 (5,288,512,256)", h=288, wd=512,
+                                     cin=256, cout=256))
+exp("wg_unet320")(lambda: bench_winograd("wg_unet320 (50,72,128,320)", n=50,
+                                         h=72, wd=128, cin=320, cout=320))
+GROUPS["winograd"] = ["winograd_check", "wg_up3", "wg_up3_loop", "wg_up2",
+                      "wg_unet320", "conv_up3", "conv_up2", "conv_unet320"]
+
 if __name__ == "__main__":
     main()

@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Round-5 Winograd F(2x2,3x3) isolated conv A/B (PERF.md round-5 queue #2).
+#
+# Prototype lives in scripts/perf_lab.py (winograd group): XLA-level
+# F(2x2,3x3) with pre-transformed weights, correctness-gated vs lax conv
+# (winograd_check, 3.4e-7 rel err fp32).  This ladder measures it against
+# the direct-conv ceiling probes at the three conv bucket shapes.  Report
+# numbers are EFFECTIVE TF/s vs the direct 9-tap FLOP count, so wg_* vs
+# conv_* compare head-to-head; winograd's actual MACs are 2.25x fewer.
+#
+# Decision rule (in-context-inversion law): wg_X must beat conv_X by >25%
+# ISOLATED before any model wiring is even considered — the XLA
+# formulation materializes a 4x-input-bytes transformed-tile tensor, so a
+# loss here closes the family (traffic-bound at ~0.5 TB/s); a win routes
+# to a Pallas in-VMEM transform mega-kernel next.
+#
+# Serialized on the single chip; run only when no other chip job is live:
+#   nohup ./scripts/r5_winograd_plan.sh > /tmp/r5_winograd.log 2>&1 &
+#   echo $! > /tmp/wgplan.pid
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+run() {
+  local tag="$1"; shift
+  echo "=== [$tag] $* ==="
+  timeout 1200 python scripts/perf_lab.py "$@" 2>&1 | tail -4
+  echo "=== [$tag] done rc=$? ==="
+}
+
+run check winograd_check
+run up3 conv_up3 wg_up3 wg_up3_loop
+run up2 conv_up2 wg_up2
+run unet320 conv_unet320 wg_unet320
