@@ -2128,6 +2128,65 @@ def bench_winograd(name, n=5, h=576, wd=1024, cin=128, cout=128, iters=10,
     report(name, dt, 2 * n * h * wd * cin * cout * 9)
 
 
+def bench_winograd_row(name, n=5, h=576, wd=1024, cin=128, cout=128,
+                       iters=10, block_rows=0, silu=False):
+    """Pallas row-Winograd F(2,3) kernel (tvi/ops/pallas_winograd.py):
+    1.5x MAC cut over direct, same structure as pconv3 k3.  Effective TF/s
+    vs the direct 9-tap FLOP count, comparable to conv_*/pconv3_*."""
+    from tvi.ops.pallas_winograd import conv3x3_winograd_row
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, wd, cin),
+                          jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout),
+                          jnp.bfloat16) * 0.05
+    b = jnp.zeros((cout,), jnp.bfloat16)
+
+    @jax.jit
+    def run(x, w, b):
+        def body(i, cur):
+            y = conv3x3_winograd_row(cur, w, b, apply_silu=silu,
+                                     block_rows=block_rows)
+            return (cur + 0.001 * y).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(x, w, b)
+    float(jnp.float32(out.ravel()[0]))
+    t0 = time.perf_counter()
+    out = run(x, w, b)
+    float(jnp.float32(out.ravel()[0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * n * h * wd * cin * cout * 9)
+
+
+def check_winograd_row_tpu(name, n=2, h=32, wd=256, cin=128, cout=128):
+    """Mosaic-path parity gate (REAL compiled kernel, not interpret)."""
+    from tvi.ops.pallas_winograd import conv3x3_winograd_row
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, wd, cin),
+                          jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout),
+                          jnp.bfloat16) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(2), (cout,), jnp.bfloat16)
+    want = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32), (1, 1),
+        ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b.astype(jnp.float32)
+    got = conv3x3_winograd_row(x, w, b).astype(jnp.float32)
+    err = float(jnp.max(jnp.abs(got - want)))
+    ref = float(jnp.max(jnp.abs(want)))
+    print(f"[{name}] max rel err {err / ref:.2e} "
+          f"{'OK' if err / ref < 0.05 else 'MISMATCH'}", flush=True)
+
+
+exp("wg_row_check")(lambda: check_winograd_row_tpu("wg_row_check"))
+exp("wg_row_up3")(lambda: bench_winograd_row("wg_row_up3 (5,576,1024,128)"))
+exp("wg_row_up3_bh32")(lambda: bench_winograd_row("wg_row_up3_bh32",
+                                                  block_rows=32))
+exp("wg_row_up2")(lambda: bench_winograd_row("wg_row_up2 (5,288,512,256)",
+                                             h=288, wd=512, cin=256,
+                                             cout=256))
+exp("wg_row_unet320")(lambda: bench_winograd_row(
+    "wg_row_unet320 (50,72,128,320)", n=50, h=72, wd=128, cin=320, cout=320))
 exp("winograd_check")(lambda: check_winograd("winograd_check"))
 exp("wg_up3")(lambda: bench_winograd("wg_up3 (5,576,1024,128)"))
 exp("wg_up3_loop")(lambda: bench_winograd("wg_up3_loop", stack=False))
@@ -2137,6 +2196,10 @@ exp("wg_unet320")(lambda: bench_winograd("wg_unet320 (50,72,128,320)", n=50,
                                          h=72, wd=128, cin=320, cout=320))
 GROUPS["winograd"] = ["winograd_check", "wg_up3", "wg_up3_loop", "wg_up2",
                       "wg_unet320", "conv_up3", "conv_up2", "conv_unet320"]
+GROUPS["winograd_row"] = ["wg_row_check", "wg_row_up3", "wg_row_up3_bh32",
+                          "wg_row_up2", "wg_row_unet320",
+                          "pconv3_up3_k3", "pconv3_up2_k3", "conv_up3",
+                          "conv_up2", "conv_unet320"]
 
 if __name__ == "__main__":
     main()

@@ -23,11 +23,23 @@ cd "$(dirname "$0")/.."
 run() {
   local tag="$1"; shift
   echo "=== [$tag] $* ==="
-  timeout 1200 python scripts/perf_lab.py "$@" 2>&1 | tail -4
+  timeout 1800 python scripts/perf_lab.py "$@" 2>&1 | tail -6
   echo "=== [$tag] done rc=$? ==="
 }
 
+# Phase 1: the Pallas row-Winograd kernel (tvi/ops/pallas_winograd.py,
+# 1.5x MAC cut, same structure as pconv3 k3).  Parity gate FIRST (real
+# Mosaic path; interpret-mode tests are green on CPU), then A/B vs the
+# direct kernels + XLA at each bucket shape.
+run row_check wg_row_check
+run row_up3 conv_up3 pconv3_up3_k3 wg_row_up3 wg_row_up3_bh32
+run row_up2 conv_up2 pconv3_up2_k3 wg_row_up2
+run row_unet320 conv_unet320 wg_row_unet320
+
+# Phase 2 (only if phase 1 wins nowhere): the XLA-level F(2x2,3x3)
+# formulation — expected traffic-bound (4x-input-bytes transformed tiles)
+# but closes the family with a measurement if so.
 run check winograd_check
-run up3 conv_up3 wg_up3 wg_up3_loop
-run up2 conv_up2 wg_up2
-run unet320 conv_unet320 wg_unet320
+run up3 wg_up3 wg_up3_loop
+run up2 wg_up2
+run unet320 wg_unet320
