@@ -2158,6 +2158,40 @@ def bench_winograd_row(name, n=5, h=576, wd=1024, cin=128, cout=128,
     report(name, dt, 2 * n * h * wd * cin * cout * 9)
 
 
+def bench_winograd_row_gn(name, n=5, h=576, wd=1024, cin=128, cout=128,
+                          iters=10, block_rows=0):
+    """GN+SiLU prologue fused into the row-Winograd kernel — A/B vs
+    pconv3_*_gn (the v3 fused chain) at the resnet/decoder chain shapes."""
+    from tvi.ops.pallas_winograd import group_norm_silu_winograd_row
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, wd, cin),
+                          jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout),
+                          jnp.bfloat16) * 0.05
+    b = jnp.zeros((cout,), jnp.bfloat16)
+    gamma = jnp.ones((cin,), jnp.float32)
+    beta = jnp.zeros((cin,), jnp.float32)
+
+    @jax.jit
+    def run(x, w, b):
+        def body(i, cur):
+            y = group_norm_silu_winograd_row(cur, gamma, beta, 32, w, b,
+                                             block_rows=block_rows)
+            return (cur + 0.001 * y).astype(cur.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out = run(x, w, b)
+    float(jnp.float32(out.ravel()[0]))
+    t0 = time.perf_counter()
+    out = run(x, w, b)
+    float(jnp.float32(out.ravel()[0]))
+    dt = (time.perf_counter() - t0) / iters
+    report(name, dt, 2 * n * h * wd * cin * cout * 9)
+
+
+exp("wg_row_up3_gn")(lambda: bench_winograd_row_gn("wg_row_up3_gn"))
+
+
 def check_winograd_row_tpu(name, n=2, h=32, wd=256, cin=128, cout=128):
     """Mosaic-path parity gate (REAL compiled kernel, not interpret)."""
     from tvi.ops.pallas_winograd import conv3x3_winograd_row

@@ -35,6 +35,7 @@ run row_check wg_row_check
 run row_up3 conv_up3 pconv3_up3_k3 wg_row_up3 wg_row_up3_bh32
 run row_up2 conv_up2 pconv3_up2_k3 wg_row_up2
 run row_unet320 conv_unet320 wg_row_unet320
+run row_gn pconv3_up3_k9_gn wg_row_up3_gn
 
 # Phase 2 (only if phase 1 wins nowhere): the XLA-level F(2x2,3x3)
 # formulation — expected traffic-bound (4x-input-bytes transformed tiles)

@@ -48,6 +48,24 @@ def test_fused_silu(rng):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_gn_silu_prologue(rng):
+    from tvi.ops.groupnorm import group_norm_silu
+    from tvi.ops.pallas_winograd import group_norm_silu_winograd_row
+
+    n, h, w, c, co, groups = 2, 12, 32, 8, 12, 4
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    x = jax.random.normal(k1, (n, h, w, c))
+    gamma = 1.0 + 0.3 * jax.random.normal(k2, (c,))
+    beta = 0.2 * jax.random.normal(k3, (c,))
+    wt = jax.random.normal(k4, (3, 3, c, co)) * 0.2
+    b = jax.random.normal(k5, (co,))
+    want = _ref(group_norm_silu(x, gamma, beta, groups), wt, b)
+    got = group_norm_silu_winograd_row(x, gamma, beta, groups, wt, b,
+                                       block_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-5)
+
+
 def test_bf16_io(rng):
     x = jax.random.normal(rng, (1, 16, 32, 8), jnp.bfloat16)
     wt = (jax.random.normal(jax.random.fold_in(rng, 1), (3, 3, 8, 8))

@@ -57,13 +57,31 @@ def winograd_row_weights(w: jax.Array) -> jax.Array:
     return wr.reshape(4, 3 * c, co).astype(w.dtype)
 
 
-def _wg_row_kernel(xa_ref, xb_ref, w_ref, b_ref, o_ref, *, bh: int, w: int,
-                   apply_silu: bool):
+def _wg_row_kernel(*refs, bh: int, w: int, h: int, apply_silu: bool,
+                   prologue: bool, prologue_silu: bool):
     # xa/xb: consecutive (1, BH, W+2, C) blocks of the padded input; rows
     # [0, BH+2) of their concatenation cover the halo window.
+    if prologue:
+        xa_ref, xb_ref, sc_ref, bi_ref, w_ref, b_ref, o_ref = refs
+    else:
+        xa_ref, xb_ref, w_ref, b_ref, o_ref = refs
+    hh = pl.program_id(1)
     window = jnp.concatenate([xa_ref[0], xb_ref[0][:2]], axis=0)
     c = window.shape[-1]
     co = w_ref.shape[-1]
+    if prologue:
+        # GN-apply(+SiLU) on the halo window in VMEM, then re-zero the
+        # SAME padding (the affine maps 0 -> bi != 0); same construction
+        # as pallas_conv._conv_kernel_v3 (3D iota masks — Mosaic rejects
+        # reshaping a 2D i1 vector for the broadcast).
+        xf = window.astype(jnp.float32)
+        y = xf * sc_ref[0] + bi_ref[0]
+        if prologue_silu:
+            y = y * jax.nn.sigmoid(y)
+        rows = jax.lax.broadcasted_iota(jnp.int32, window.shape, 0) + hh * bh
+        colsm = jax.lax.broadcasted_iota(jnp.int32, window.shape, 1)
+        valid = ((rows >= 1) & (rows <= h) & (colsm >= 1) & (colsm <= w))
+        window = jnp.where(valid, y, 0.0).astype(window.dtype)
     # v3 trick: column shifts collapsed first (normalizes sublane offsets),
     # then lane-concatenated so all three taps ride one contraction axis.
     cols = [window[:, dc:dc + w].reshape((bh + 2) * w, c) for dc in range(3)]
@@ -95,16 +113,23 @@ def _wg_row_kernel(xa_ref, xb_ref, w_ref, b_ref, o_ref, *, bh: int, w: int,
     o_ref[0] = out.reshape(bh, w, co).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("apply_silu", "block_rows",
-                                             "interpret"))
+@functools.partial(jax.jit, static_argnames=("apply_silu", "prologue_silu",
+                                             "block_rows", "interpret"))
 def conv3x3_winograd_row(x: jax.Array, w: jax.Array, b: jax.Array,
-                         apply_silu: bool = False, block_rows: int = 0,
+                         gn_scale: jax.Array | None = None,
+                         gn_bias: jax.Array | None = None,
+                         apply_silu: bool = False, prologue_silu: bool = True,
+                         block_rows: int = 0,
                          interpret: bool = False) -> jax.Array:
     """Row-Winograd SAME 3x3 conv.  x: (N, H, W, C); w: (3, 3, C, Co);
-    b: (Co,).  Requires W % 16 == 0 (the column-collapse alignment rule
-    shared with pallas_conv); H is padded up to the row block."""
+    b: (Co,).  gn_scale/gn_bias: optional per-sample (N, C) fp32
+    apply-pass coefficients — when given, computes
+    conv3x3(act(x * sc + bi)) in one kernel (v3-prologue-compatible).
+    Requires W % 16 == 0 (the column-collapse alignment rule shared with
+    pallas_conv); H is padded up to the row block."""
     n, h, wdt, c = x.shape
     co = w.shape[-1]
+    prologue = gn_scale is not None
     bh = block_rows or _pick_block_rows(h, wdt)
     bh = max(8, (bh // 2) * 2)            # row pairs
     hpad = ((h + bh - 1) // bh) * bh
@@ -118,15 +143,26 @@ def conv3x3_winograd_row(x: jax.Array, w: jax.Array, b: jax.Array,
     in_block_next = pl.BlockSpec((1, bh, wdt + 2, c),
                                  lambda nn_, hh: (nn_, hh + 1, 0, 0),
                                  memory_space=pltpu.VMEM)
+    in_specs = [in_block, in_block_next]
+    args = [xp, xp]
+    if prologue:
+        sc = gn_scale.reshape(n, 1, c).astype(jnp.float32)
+        bi = gn_bias.reshape(n, 1, c).astype(jnp.float32)
+        stat_spec = pl.BlockSpec((1, 1, c), lambda nn_, hh: (nn_, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [stat_spec, stat_spec]
+        args += [sc, bi]
+    in_specs += [pl.BlockSpec((4, 3 * c, co), lambda nn_, hh: (0, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, co), lambda nn_, hh: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    args += [wz, bz]
     out = pl.pallas_call(
-        functools.partial(_wg_row_kernel, bh=bh, w=wdt,
-                          apply_silu=apply_silu),
+        functools.partial(_wg_row_kernel, bh=bh, w=wdt, h=h,
+                          apply_silu=apply_silu, prologue=prologue,
+                          prologue_silu=prologue_silu),
         grid=grid,
-        in_specs=[in_block, in_block_next,
-                  pl.BlockSpec((4, 3 * c, co), lambda nn_, hh: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, co), lambda nn_, hh: (0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bh, wdt, co),
                                lambda nn_, hh: (nn_, hh, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -142,5 +178,28 @@ def conv3x3_winograd_row(x: jax.Array, w: jax.Array, b: jax.Array,
             transcendentals=n * hpad * wdt * co if apply_silu else 0,
         ),
         interpret=interpret,
-    )(xp, xp, wz, bz)
+    )(*args)
     return out[:, :h]
+
+
+def group_norm_silu_winograd_row(x: jax.Array, gamma: jax.Array,
+                                 beta: jax.Array, num_groups: int,
+                                 w: jax.Array, b: jax.Array,
+                                 eps: float = 1e-5, block_rows: int = 0,
+                                 interpret: bool = False) -> jax.Array:
+    """conv3x3(silu(group_norm(x))) with GN apply + SiLU fused into the
+    row-Winograd kernel's prologue — drop-in for
+    pallas_conv.group_norm_silu_conv3x3 at the ResnetBlock2D / VAE decoder
+    GN->SiLU->conv chains (reference src/models/ stacks)."""
+    from tvi.ops.groupnorm import group_norm_stats
+
+    c = x.shape[-1]
+    cg = c // num_groups
+    mean, var = group_norm_stats(x, num_groups)
+    rstd = jax.lax.rsqrt(var + eps)
+    sc = jnp.repeat(rstd, cg, axis=-1) * gamma.astype(jnp.float32)[None]
+    bi = (beta.astype(jnp.float32)[None]
+          - jnp.repeat(mean, cg, axis=-1) * sc)
+    return conv3x3_winograd_row(x, w, b, gn_scale=sc, gn_bias=bi,
+                                prologue_silu=True, block_rows=block_rows,
+                                interpret=interpret)
