@@ -12,7 +12,7 @@ last offline de-risk before the real-weights SSIM gate
     (vendored file executed directly)
   - FeatureProjector                   reference src/models/feature_projector.py:6-43
   - MotionEncoder (SimpleEncoder)      reference src/train_decouples.py:349-368
-  - CLIP vision tower                  installed ``transformers`` (the真 oracle
+  - CLIP vision tower                  installed ``transformers`` (the true oracle
     the reference loads at src/train.py:252-257)
   - AutoencoderKLTemporalDecoder       diffusers semantics re-stated in the
     shim from the reference's vendored temporal blocks
