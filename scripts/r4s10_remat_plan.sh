@@ -22,9 +22,13 @@ cd "$(dirname "$0")/.."
 run() {
   local tag="$1"; shift
   echo "=== [$tag] env: $* ==="
-  env "$@" timeout 2700 python scripts/train_step_probe.py 2>&1 \
-    | grep -E "step|GB|loss|OOM|RESOURCE|Error" | tail -8
-  echo "=== [$tag] done rc=$? ==="
+  # full output per stage (ADVICE r4: piping TPU runs through grep/tail
+  # loses the traceback when a late stage dies)
+  env "$@" timeout 2700 python scripts/train_step_probe.py \
+    > "/tmp/r5_remat_${tag}.log" 2>&1
+  local rc=$?
+  grep -E "step|GB|loss|OOM|RESOURCE|Error" "/tmp/r5_remat_${tag}.log" | tail -8
+  echo "=== [$tag] done rc=$rc (full log /tmp/r5_remat_${tag}.log) ==="
 }
 
 # same-container baseline: the 2.50 s / 14.41 GB reference was measured in
@@ -35,3 +39,6 @@ run vjp_bq1280_retry TVI_VJP_BLOCK_Q=1280
 run remat_convs2 TVI_REMAT_POLICY=convs2
 run remat_convs TVI_REMAT_POLICY=convs
 run remat_dots TVI_REMAT_POLICY=dots
+# VERDICT r5 item 2: re-judge the r4s10 phase-2 ff32k reading (2.42 s) vs
+# THIS container's baseline — the original number was cross-container.
+run vjp_ff32k TVI_VJP_FF_TARGET=32768

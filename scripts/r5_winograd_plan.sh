@@ -23,8 +23,13 @@ cd "$(dirname "$0")/.."
 run() {
   local tag="$1"; shift
   echo "=== [$tag] $* ==="
-  timeout 1800 python scripts/perf_lab.py "$@" 2>&1 | tail -6
-  echo "=== [$tag] done rc=$? ==="
+  # capture FULL output per stage (CLAUDE.md: piping TPU runs through tail
+  # loses partial output/tracebacks if a late stage fails — ADVICE r4),
+  # then echo the result lines into the main log.
+  timeout 1800 python scripts/perf_lab.py "$@" > "/tmp/r5_${tag}.log" 2>&1
+  local rc=$?
+  tail -6 "/tmp/r5_${tag}.log"
+  echo "=== [$tag] done rc=$rc (full log /tmp/r5_${tag}.log) ==="
 }
 
 # Phase 1: the Pallas row-Winograd kernel (tvi/ops/pallas_winograd.py,

@@ -591,6 +591,187 @@ class GatedSelfAttentionDense(_Inert):
 
 
 # ---------------------------------------------------------------------------
+# pipeline-level shims: execute the reference PIPELINE file directly
+# (src/pipelines/pipeline_stable_video_diffusion_efficient_interp.py) as the
+# assembled-pipeline oracle (VERDICT r4 item 3).  Faithful to the diffusers
+# 0.24 APIs the file imports at :8-15.
+# ---------------------------------------------------------------------------
+
+
+def randn_tensor(shape, generator=None, device=None, dtype=None):
+    """diffusers.utils.torch_utils.randn_tensor (single-generator path)."""
+    return torch.randn(tuple(shape), generator=generator, dtype=dtype)
+
+
+class TorchEulerDiscreteScheduler:
+    """EulerDiscreteScheduler with the SVD-xt scheduler_config.json
+    semantics (the configuration the reference loads at src/train.py:246):
+    karras rho-7 sigma ramp between sigma_min=0.002 and sigma_max=700,
+    ``timestep_type='continuous'`` (t = 0.25*ln sigma),
+    ``prediction_type='v_prediction'`` Euler ODE step, 'leading' spacing
+    init noise sqrt(sigma_max^2+1).  Used from the pipeline at
+    pipeline:490 (set_timesteps), :543 (scale_model_input), :569 (step)."""
+
+    order = 1
+
+    def __init__(self, sigma_min=0.002, sigma_max=700.0, rho=7.0):
+        self.sigma_min, self.sigma_max, self.rho = sigma_min, sigma_max, rho
+        self.sigmas = None
+        self.timesteps = None
+
+    @property
+    def init_noise_sigma(self):
+        return math.sqrt(self.sigma_max ** 2 + 1.0)
+
+    def set_timesteps(self, num_inference_steps, device=None):
+        import numpy as np
+
+        ramp = np.linspace(0, 1, num_inference_steps)
+        min_inv = self.sigma_min ** (1 / self.rho)
+        max_inv = self.sigma_max ** (1 / self.rho)
+        s = (max_inv + ramp * (min_inv - max_inv)) ** self.rho
+        self.sigmas = torch.tensor(np.concatenate([s, [0.0]]),
+                                   dtype=torch.float32)
+        self.timesteps = 0.25 * torch.log(torch.tensor(s, dtype=torch.float32))
+
+    def _index(self, t):
+        return int(torch.argmin(torch.abs(self.timesteps - t)))
+
+    def scale_model_input(self, sample, t):
+        sigma = self.sigmas[self._index(t)]
+        return sample / ((sigma ** 2 + 1) ** 0.5)
+
+    def step(self, model_output, t, sample):
+        i = self._index(t)
+        sigma = self.sigmas[i]
+        x = sample.float()
+        out = model_output.float()
+        denoised = x / (sigma ** 2 + 1.0) + out * (-sigma / (sigma ** 2 + 1.0) ** 0.5)
+        prev = x + (x - denoised) / sigma * (self.sigmas[i + 1] - sigma)
+        return types.SimpleNamespace(prev_sample=prev.to(sample.dtype))
+
+
+class VaeImageProcessor:
+    """diffusers.image_processor.VaeImageProcessor — the subset the
+    reference pipeline uses (pil_to_numpy/numpy_to_pt at :193-194,
+    preprocess at :456,461).  Inputs are expected already at the target
+    size (the tests feed exact-size PIL images, so the resize branch of
+    the real processor is a no-op)."""
+
+    def __init__(self, vae_scale_factor=8, do_normalize=True):
+        self.vae_scale_factor = vae_scale_factor
+
+    @staticmethod
+    def pil_to_numpy(images):
+        import numpy as np
+
+        if not isinstance(images, list):
+            images = [images]
+        arrs = [np.asarray(im).astype(np.float32) / 255.0 for im in images]
+        return np.stack(arrs, axis=0)
+
+    @staticmethod
+    def numpy_to_pt(images):
+        if images.ndim == 3:
+            images = images[..., None]
+        return torch.from_numpy(images.transpose(0, 3, 1, 2)).contiguous()
+
+    def preprocess(self, image, height=None, width=None):
+        if isinstance(image, torch.Tensor):
+            x = image
+        else:
+            x = self.numpy_to_pt(self.pil_to_numpy(image))
+        if height is not None and (x.shape[-2] != height or x.shape[-1] != width):
+            raise ValueError(
+                f"shim preprocess expects exact-size inputs, got "
+                f"{tuple(x.shape[-2:])} for target {(height, width)}")
+        return 2.0 * x - 1.0  # do_normalize
+
+    def postprocess(self, image, output_type="np"):
+        image = (image / 2 + 0.5).clamp(0, 1)
+        if output_type == "pt":
+            return image
+        return image.cpu().permute(0, 2, 3, 1).float().numpy()
+
+
+class DiffusionPipeline:
+    """Minimal diffusers.pipelines.pipeline_utils.DiffusionPipeline: module
+    registration, execution device, progress bar, hook cleanup."""
+
+    def register_modules(self, **modules):
+        for name, module in modules.items():
+            setattr(self, name, module)
+
+    @property
+    def _execution_device(self):
+        return torch.device("cpu")
+
+    def progress_bar(self, total=None):
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            yield types.SimpleNamespace(update=lambda *a, **k: None)
+
+        return _cm()
+
+    def maybe_free_model_hooks(self):
+        pass
+
+
+class _DiagonalGaussian:
+    def __init__(self, moments):
+        self.mean, self.logvar = torch.chunk(moments, 2, dim=1)
+
+    def mode(self):
+        return self.mean
+
+
+class AutoencoderKLTemporalDecoderHF:
+    """The faithful shim VAE wrapped in the diffusers model API the
+    pipeline drives: ``encode().latent_dist.mode()`` (pipeline:239),
+    ``decode(z, num_frames).sample`` (pipeline:302), ``config`` fields
+    (block_out_channels :187, scaling_factor :287, force_upcast :464) and
+    a ``forward`` whose signature carries num_frames (:290)."""
+
+    def __init__(self, block_out_channels=(128, 256, 512, 512),
+                 layers_per_block=2, scaling_factor=0.18215):
+        self.inner = _make_vae_classes()(
+            block_out_channels=block_out_channels,
+            layers_per_block=layers_per_block)
+        self.config = types.SimpleNamespace(
+            block_out_channels=tuple(block_out_channels),
+            scaling_factor=scaling_factor, force_upcast=True,
+            latent_channels=4)
+
+    # module-ish surface the pipeline touches
+    @property
+    def dtype(self):
+        return torch.float32
+
+    def to(self, *a, **k):
+        return self
+
+    def eval(self):
+        self.inner.eval()
+        return self
+
+    def state_dict(self):
+        return self.inner.state_dict()
+
+    def encode(self, x):
+        return types.SimpleNamespace(
+            latent_dist=_DiagonalGaussian(self.inner.encode_moments(x)))
+
+    def decode(self, z, num_frames=1):
+        return types.SimpleNamespace(
+            sample=self.inner.decode(z, num_frames=num_frames))
+
+    def forward(self, sample, num_frames=1):  # signature probed at :290
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
 # module fabrication
 # ---------------------------------------------------------------------------
 
@@ -670,7 +851,8 @@ def install() -> None:
     )
     _module("diffusers.utils.torch_utils",
             maybe_allow_in_graph=lambda cls: cls,
-            apply_freeu=_Inert)
+            apply_freeu=_Inert,
+            randn_tensor=randn_tensor)
     _module("diffusers.utils.import_utils",
             is_xformers_available=lambda: False)
     _module("diffusers.utils.hub_utils", PushToHubMixin=type(
@@ -681,8 +863,17 @@ def install() -> None:
         "UNet2DConditionLoadersMixin", (), {}),
         FromOriginalControlnetMixin=type("FromOriginalControlnetMixin", (), {}))
     # controlnet_svd.py:36 imports the UNet class from diffusers.models only
-    # for its from_unet type annotation; an inert name suffices.
-    models = _module("diffusers.models", UNetSpatioTemporalConditionModel=_Inert)
+    # for its from_unet type annotation; an inert name suffices.  The
+    # pipeline file imports AutoencoderKLTemporalDecoder for its type
+    # annotation too — the HF-API wrapper doubles as the constructible VAE.
+    models = _module("diffusers.models", UNetSpatioTemporalConditionModel=_Inert,
+                     AutoencoderKLTemporalDecoder=AutoencoderKLTemporalDecoderHF)
+    _module("diffusers.image_processor", VaeImageProcessor=VaeImageProcessor)
+    _module("diffusers.schedulers",
+            EulerDiscreteScheduler=TorchEulerDiscreteScheduler)
+    _module("diffusers.pipelines", pipeline_utils=None)
+    _module("diffusers.pipelines.pipeline_utils",
+            DiffusionPipeline=DiffusionPipeline)
     _module("diffusers.models.activations", GEGLU=GEGLU, GELU=GELU,
             ApproximateGELU=ApproximateGELU)
     _module("diffusers.models.embeddings", TimestepEmbedding=TimestepEmbedding,

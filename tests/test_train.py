@@ -331,3 +331,121 @@ class TestGradientCheckpointing:
         monkeypatch.setenv("TVI_REMAT_POLICY", "bogus")
         with pytest.raises(ValueError):
             _remat_policy()
+
+
+class TestAllTrainersOnMesh:
+    """VERDICT r4 item 6: the ControlNet and decoupled trainers get the same
+    8-device DP mesh + 1-device value-equivalence treatment as the interp
+    trainer (mirrors the gates in __graft_entry__.dryrun_multichip).
+
+    Tolerances follow the dryrun: loss matches to fp32 reduction noise;
+    params may differ by ~lr on elements whose gradient is pure
+    reduction-order noise (Adam normalizes that noise to an lr-sized step).
+    """
+
+    def _equiv_gate(self, state_n, state_1, loss_n, loss_1, lr):
+        np.testing.assert_allclose(loss_n, loss_1, rtol=1e-5, atol=1e-6)
+        for a_n, a_1 in zip(jax.tree.leaves(state_n.trainable),
+                            jax.tree.leaves(state_1.trainable)):
+            np.testing.assert_allclose(np.asarray(a_n), np.asarray(a_1),
+                                       rtol=1e-3, atol=2 * lr)
+
+    def test_controlnet_step_on_8_device_mesh(self, rng):
+        assert len(jax.devices()) == 8
+        mesh = create_mesh(MeshSpec(data=8))
+        unet8 = UNetSpatioTemporalConditionModel(
+            TINY_UNET.replace(in_channels=8), dtype=jnp.float32)
+        vae = AutoencoderKLTemporalDecoder(TINY_VAE, dtype=jnp.float32)
+        clip = CLIPVisionModelWithProjection(tiny_clip, dtype=jnp.float32)
+        cn_cfg = ControlNetConfig.from_unet(TINY_UNET.replace(in_channels=8))
+        cn = ControlNetSVDModel(cn_cfg, dtype=jnp.float32)
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        lat_h, lat_w = H // 2, W // 2
+        ctx0 = jnp.zeros((1, 1, TINY_UNET.cross_attention_dim))
+        frozen = {
+            "unet": unet8.init_params(r1),
+            "vae": vae.init(r2, jnp.zeros((1, 16, 16, 3)), 1),
+            "clip": clip.init(r3, jnp.zeros((1, 32, 32, 3))),
+        }
+        cn_params = cn.init(r4, jnp.zeros((1, F, lat_h, lat_w, 8)),
+                            jnp.zeros(()), ctx0, jnp.zeros((1, 3)),
+                            jnp.zeros((1, F, lat_h * 8, lat_w * 8, 3)))
+        cfg = TINY_TRAIN  # no dropout: dropout rng would differ per layout
+        k1, k2 = jax.random.split(rng, 2)
+        batch = {
+            "video": jax.random.uniform(k1, (8, F, H, W, 3)) * 2 - 1,
+            "controlnet_cond": jax.random.uniform(
+                k2, (8, F, lat_h * 8, lat_w * 8, 3)),
+            "motion_values": jnp.arange(8.0) + 5.0,
+        }
+        cn_copy = jax.tree.map(np.array, cn_params)
+
+        step_n, opt = make_controlnet_train_step(
+            unet=unet8, vae=vae, clip=clip, controlnet=cn, cfg=cfg,
+            mesh=mesh, dtype=jnp.float32)
+        state_n = create_train_state(cn_params, opt)
+        state_n, metrics_n = step_n(state_n, frozen,
+                                    shard_batch(mesh, batch),
+                                    jax.random.PRNGKey(1))
+        loss_n = float(metrics_n["loss"])
+        assert np.isfinite(loss_n)
+        assert jax.tree.leaves(state_n.trainable)[0].sharding.is_fully_replicated
+
+        step_1, _ = make_controlnet_train_step(
+            unet=unet8, vae=vae, clip=clip, controlnet=cn, cfg=cfg,
+            optimizer=opt, dtype=jnp.float32)
+        state_1 = create_train_state(cn_copy, opt)
+        state_1, metrics_1 = step_1(state_1, frozen, batch,
+                                    jax.random.PRNGKey(1))
+        self._equiv_gate(state_n, state_1, loss_n,
+                         float(metrics_1["loss"]), cfg.learning_rate)
+
+    def test_decoupled_step_on_8_device_mesh(self, rng):
+        from tvi.models.projector import MotionEncoder
+
+        assert len(jax.devices()) == 8
+        mesh = create_mesh(MeshSpec(data=8))
+        unet, vae, clip, proj = _models()
+        enc = MotionEncoder(output_dim=TINY_UNET.cross_attention_dim,
+                            dtype=jnp.float32)
+        params = _params(rng, unet, vae, clip, proj)
+        enc_params = enc.init(jax.random.PRNGKey(9),
+                              jnp.zeros((1, 16, 16, 1)))
+        unet_train, unet_frozen = partition_params(params["unet"],
+                                                   temporal_predicate)
+        cfg = TINY_TRAIN.replace(use_monotonicity_loss=True,
+                                 use_attention_mask=True,
+                                 mask_token_conditioning=False)
+        trainable = {"unet": unet_train, "projector": params["projector"],
+                     "motion_encoder": enc_params}
+        trainable_copy = jax.tree.map(np.array, trainable)
+        frozen = {"unet": unet_frozen, "vae": params["vae"],
+                  "clip": params["clip"], "mask_token": params["mask_token"]}
+        k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+        batch = {
+            "video": jax.random.uniform(k1, (8, F, H, W, 3)) * 2 - 1,
+            "first": jax.random.uniform(k2, (8, H, W, 3)) * 2 - 1,
+            "end": jax.random.uniform(k3, (8, H, W, 3)) * 2 - 1,
+            "motion_first": jax.random.uniform(k4, (8, 16, 16, 1)),
+            "motion_end": jax.random.uniform(k5, (8, 16, 16, 1)),
+        }
+
+        step_n, opt = make_interp_train_step(
+            unet=unet, vae=vae, clip=clip, projector=proj,
+            motion_encoder=enc, cfg=cfg, mesh=mesh, dtype=jnp.float32)
+        state_n = create_train_state(trainable, opt)
+        state_n, metrics_n = step_n(state_n, frozen,
+                                    shard_batch(mesh, batch),
+                                    jax.random.PRNGKey(1))
+        loss_n = float(metrics_n["loss"])
+        assert np.isfinite(loss_n)
+        assert np.isfinite(float(metrics_n["monotonicity_loss"]))
+
+        step_1, _ = make_interp_train_step(
+            unet=unet, vae=vae, clip=clip, projector=proj,
+            motion_encoder=enc, cfg=cfg, optimizer=opt, dtype=jnp.float32)
+        state_1 = create_train_state(trainable_copy, opt)
+        state_1, metrics_1 = step_1(state_1, frozen, batch,
+                                    jax.random.PRNGKey(1))
+        self._equiv_gate(state_n, state_1, loss_n,
+                         float(metrics_1["loss"]), cfg.learning_rate)

@@ -401,6 +401,17 @@ class TransformerSpatioTemporalModel(nn.Module):
             # kernel picks its group's K/V via the block index map) or
             # repeats batch-major on the fallback path.
             t_ctx = temporal_ctx
+            if os.environ.get("TVI_REF_CTX_QUIRK"):
+                # Replicate the reference's PIXEL-major pairing (reference
+                # transformer_temporal.py:297 reshapes (S, B) while hidden
+                # rows are (B, S)): hidden row q attends to ctx[q % B], so
+                # a CFG pair alternates cond/uncond context per pixel.
+                # Trace-time opt-in for the assembled-pipeline oracle test
+                # ONLY (tests/test_reference_pipeline.py); the default
+                # batch-major pairing is the documented deliberate fix
+                # (PARITY.md, test_reference_blocks.py::
+                # test_reference_temporal_context_row_order_quirk_documented).
+                t_ctx = jnp.tile(temporal_ctx, (height * width, 1, 1))
             o4 = None
             if (x4 is not None and out4d_params is not None
                     and layer == self.num_layers - 1):

@@ -129,6 +129,13 @@ def conv3x3_winograd_row(x: jax.Array, w: jax.Array, b: jax.Array,
     pallas_conv); H is padded up to the row block."""
     n, h, wdt, c = x.shape
     co = w.shape[-1]
+    if wdt % 16 or h < 2:
+        # fail loudly instead of an opaque Mosaic layout error (ADVICE r4):
+        # the (W+2)-lane column collapse needs W % 16 == 0, same rule as
+        # pallas_conv.conv3x3_eligible; degenerate H has no row pairs.
+        raise ValueError(
+            f"conv3x3_winograd_row requires W % 16 == 0 and H >= 2, got "
+            f"H={h}, W={wdt}")
     prologue = gn_scale is not None
     bh = block_rows or _pick_block_rows(h, wdt)
     bh = max(8, (bh // 2) * 2)            # row pairs

@@ -127,7 +127,14 @@ class InterpolationPipeline:
         anchor_points_flag: Optional[np.ndarray] = None,  # (N,) bool
         track_update_interval: int = 5,
         output_type: str = "np",
+        init_noise: Optional[np.ndarray] = None,   # (B, F, h, w, 4) pre-scale
+        aug_noise: Optional[Tuple] = None,         # (first, end) image-space
     ):
+        """``init_noise``/``aug_noise`` inject explicit noise arrays in
+        place of the rng draws — the reference pipeline's ``latents=``
+        kwarg (pipeline:495-504: injected noise is still scaled by
+        init_noise_sigma) and the deterministic hook the assembled-pipeline
+        oracle test uses to run both pipelines on identical noise."""
         cfg = config
         b = image01.shape[0]
         vsf = self.vae.config.downscale_factor
@@ -163,8 +170,10 @@ class InterpolationPipeline:
 
         # 4. VAE conditioning latents with noise aug (pipeline:456-476)
         pix_first = to_vae_range(image01)
-        pix_first = pix_first + cfg.noise_aug_strength * jax.random.normal(
-            r_aug1, pix_first.shape, dtype=pix_first.dtype)
+        noise_first = (jnp.asarray(aug_noise[0], pix_first.dtype)
+                       if aug_noise is not None else jax.random.normal(
+                           r_aug1, pix_first.shape, dtype=pix_first.dtype))
+        pix_first = pix_first + cfg.noise_aug_strength * noise_first
         lat_first = self.vae.apply(self.vae_params, pix_first,
                                    method=self.vae.encode_mode).astype(self.dtype)
         if do_cfg:  # zero latents as the uncond row (pipeline:239-246)
@@ -176,8 +185,10 @@ class InterpolationPipeline:
                 lat_first, cfg.num_frames)
         else:
             pix_end = to_vae_range(image_end01)
-            pix_end = pix_end + cfg.noise_aug_strength * jax.random.normal(
-                r_aug2, pix_end.shape, dtype=pix_end.dtype)
+            noise_end = (jnp.asarray(aug_noise[1], pix_end.dtype)
+                         if aug_noise is not None else jax.random.normal(
+                             r_aug2, pix_end.shape, dtype=pix_end.dtype))
+            pix_end = pix_end + cfg.noise_aug_strength * noise_end
             lat_end = self.vae.apply(self.vae_params, pix_end,
                                      method=self.vae.encode_mode).astype(self.dtype)
             if do_cfg:
@@ -194,8 +205,10 @@ class InterpolationPipeline:
 
         # 6. schedule + init noise
         sigmas, timesteps = self.scheduler.set_timesteps(cfg.num_inference_steps)
-        latents = jax.random.normal(
-            r_noise, (b, cfg.num_frames, h_lat, w_lat, 4), dtype=jnp.float32)
+        latents = (jnp.asarray(init_noise, jnp.float32)
+                   if init_noise is not None else jax.random.normal(
+                       r_noise, (b, cfg.num_frames, h_lat, w_lat, 4),
+                       dtype=jnp.float32))
         latents = (latents * self.scheduler.init_noise_sigma).astype(self.dtype)
 
         # 7. per-frame guidance (pipeline:523-532)
