@@ -154,7 +154,8 @@ def _fixed_noise():
     return aug1, aug2, init
 
 
-def _run_reference(pipe, projector, do_motion_prompt: bool):
+def _run_reference(pipe, projector, do_motion_prompt: bool,
+                   middle_max: bool = False):
     import pipelines.pipeline_stable_video_diffusion_efficient_interp as ref_mod
 
     rs = np.random.RandomState(3)
@@ -175,6 +176,7 @@ def _run_reference(pipe, projector, do_motion_prompt: bool):
                 fps=6, motion_bucket_id=127, noise_aug_strength=0.02,
                 latents=torch.from_numpy(init),
                 output_type="latent", return_dict=False,
+                middle_max_guidance=middle_max,
                 projector=projector, do_motion_prompt=do_motion_prompt)
     finally:
         ref_mod.randn_tensor = orig
@@ -182,14 +184,16 @@ def _run_reference(pipe, projector, do_motion_prompt: bool):
     return img0, img1, latents.numpy()
 
 
-def _run_tvi(tvi_pipe, img0, img1, do_motion_prompt: bool):
+def _run_tvi(tvi_pipe, img0, img1, do_motion_prompt: bool,
+             middle_max: bool = False):
     aug1, aug2, init = _fixed_noise()
     # both pipelines apply the fps-1 convention internally, so cfg.fps
     # equals the reference's fps kwarg (6)
     cfg = PipelineConfig(
         height=H, width=W, num_frames=F_, num_inference_steps=STEPS,
         min_guidance_scale=1.0, max_guidance_scale=3.0, fps=6,
-        motion_bucket_id=127, noise_aug_strength=0.02)
+        motion_bucket_id=127, noise_aug_strength=0.02,
+        middle_max_guidance=middle_max)
     lat = tvi_pipe(
         img0[None].astype(np.float32) / 255.0,
         img1[None].astype(np.float32) / 255.0,
@@ -200,9 +204,12 @@ def _run_tvi(tvi_pipe, img0, img1, do_motion_prompt: bool):
     return np.asarray(lat, np.float32).transpose(0, 1, 4, 2, 3)
 
 
-@pytest.mark.parametrize("with_projector", [True, False],
-                         ids=["tuple_ctx_projector", "single_token"])
-def test_reference_pipeline_final_latent_parity(with_projector, monkeypatch):
+@pytest.mark.parametrize("with_projector,middle_max",
+                         [(True, False), (False, False), (True, True)],
+                         ids=["tuple_ctx_projector", "single_token",
+                              "middle_max_guidance"])
+def test_reference_pipeline_final_latent_parity(with_projector, middle_max,
+                                                monkeypatch):
     """Full reference pipeline __call__ vs InterpolationPipeline on shared
     converted weights + identical injected noise: final latents match.
 
@@ -218,8 +225,10 @@ def test_reference_pipeline_final_latent_parity(with_projector, monkeypatch):
     tvi_pipe = _build_tvi_pipeline(unet, vae, clip, projector)
 
     img0, img1, want = _run_reference(ref_pipe, projector,
-                                      do_motion_prompt=with_projector)
-    got = _run_tvi(tvi_pipe, img0, img1, do_motion_prompt=with_projector)
+                                      do_motion_prompt=with_projector,
+                                      middle_max=middle_max)
+    got = _run_tvi(tvi_pipe, img0, img1, do_motion_prompt=with_projector,
+                   middle_max=middle_max)
 
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
