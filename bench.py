@@ -454,7 +454,8 @@ def main_config5():
     from tvi.train.trainer import create_train_state, make_controlnet_train_step
 
     b = int(os.environ.get("TVI_BENCH_TRAIN_BATCH", 1))
-    height, width, frames = 320, 512, 14
+    height, width = 320, 512
+    frames = int(os.environ.get("TVI_BENCH_TRAIN_FRAMES", 14))
     _set_phase("config5: building models")
     dev = jax.devices()[0]
     ucfg = UNetConfig(in_channels=8)       # stock-SVD 8ch (train_svd.py)
@@ -482,35 +483,58 @@ def main_config5():
             jnp.zeros((1, 3)),
             jnp.zeros((1, 2, h * 8, w * 8, 3), dtype)), seed=3)
     cfg = TrainConfig(per_device_batch_size=b)
-    step, opt = make_controlnet_train_step(
-        unet=unet, vae=vae, clip=clip, controlnet=cn, cfg=cfg, dtype=dtype)
-    state = create_train_state(cn_params, opt)
-    rs = np.random.RandomState(0)
-    batch = {
-        "video": jax.device_put(
-            (rs.rand(b, frames, height, width, 3) * 2 - 1).astype(np.float32), dev),
-        "controlnet_cond": jax.device_put(
-            rs.rand(b, frames, h * 8, w * 8, 3).astype(np.float32), dev),
-        "motion_values": jnp.full((b,), 127.0),
-    }
-    _set_phase("config5: compiling ControlNet train step (long AOT)")
-    state, metrics = step(state, frozen, batch, jax.random.PRNGKey(4))
-    loss0 = float(metrics["loss"])
-    _set_phase(f"config5: compiled; first loss {loss0:.4f}; timing")
-    t0 = time.perf_counter()
-    reps = int(os.environ.get("TVI_BENCH_REPEATS", 3))
-    for i in range(reps):
-        state, metrics = step(state, frozen, batch,
-                              jax.random.PRNGKey(5 + i))
-    _ = float(metrics["loss"])  # readback = sync through the tunnel
-    t = (time.perf_counter() - t0) / reps
+
+    def attempt(f_try):
+        step, opt = make_controlnet_train_step(
+            unet=unet, vae=vae, clip=clip, controlnet=cn, cfg=cfg,
+            dtype=dtype)
+        state = create_train_state(jax.tree.map(jnp.copy, cn_params), opt)
+        rs = np.random.RandomState(0)
+        batch = {
+            "video": jax.device_put(
+                (rs.rand(b, f_try, height, width, 3) * 2 - 1)
+                .astype(np.float32), dev),
+            "controlnet_cond": jax.device_put(
+                rs.rand(b, f_try, h * 8, w * 8, 3).astype(np.float32), dev),
+            "motion_values": jnp.full((b,), 127.0),
+        }
+        _set_phase(f"config5: compiling ControlNet train step F={f_try} "
+                   "(long AOT)")
+        state, metrics = step(state, frozen, batch, jax.random.PRNGKey(4))
+        loss0 = float(metrics["loss"])
+        _set_phase(f"config5: compiled F={f_try}; first loss {loss0:.4f}; timing")
+        t0 = time.perf_counter()
+        reps = int(os.environ.get("TVI_BENCH_REPEATS", 3))
+        for i in range(reps):
+            state, metrics = step(state, frozen, batch,
+                                  jax.random.PRNGKey(5 + i))
+        _ = float(metrics["loss"])  # readback = sync through the tunnel
+        return (time.perf_counter() - t0) / reps, loss0
+
+    note = None
+    try:
+        t, loss0 = attempt(frames)
+    except Exception as e:  # noqa: BLE001
+        if "memory" not in str(e).lower():
+            raise
+        # fp32 AdamW on the whole 0.68B ControlNet is 10.8 GB of state
+        # next to 4.5 GB frozen models: the reference 14f geometry needs
+        # 18.6 GB and cannot fit one 16 GB chip (measured r5).  Record a
+        # half-frame-count number with the geometry noted.
+        frames //= 2
+        note = ("14f geometry OOMs at compile (18.6 GB of 15.75: fp32 Adam "
+                "state on the whole ControlNet + frozen UNet/VAE/CLIP); "
+                "measured at half frame count")
+        t, loss0 = attempt(frames)
     _set_phase("done")
-    print(json.dumps({
+    result = {
         "metric": f"ControlNet train step ({frames}f {width}x{height},"
                   f" batch {b}, AdamW, first-frame cond)",
         "value": round(t, 4), "unit": "s/step", "vs_baseline": None,
-        "loss_finite": bool(np.isfinite(loss0)), "device": str(dev)}),
-        flush=True)
+        "loss_finite": bool(np.isfinite(loss0)), "device": str(dev)}
+    if note:
+        result["note"] = note
+    print(json.dumps(result), flush=True)
 
 
 _CONFIG_MAINS = {1: main_config1, 2: main_config2, 3: main_config3,

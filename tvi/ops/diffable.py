@@ -106,7 +106,11 @@ def _row_chunks(m: int, target: int = 0) -> int:
     import os
 
     if not target:
-        target = int(os.environ.get("TVI_VJP_FF_TARGET", "16384"))
+        # default 32768 since r5: interleaved same-container A/B at the
+        # full 512x320x14f batch-2 train geometry read 2.58 s/step vs the
+        # 2.71-2.77 baseline band (-5.8%) at 14.99 GB of 15.75 (PERF.md
+        # round-5 remat/VJP ladder); 16384 was the pre-ladder default.
+        target = int(os.environ.get("TVI_VJP_FF_TARGET", "32768"))
     if not target:
         return 0
     nb = -(-m // target)
