@@ -484,9 +484,10 @@ def main_config5():
             jnp.zeros((1, 2, h * 8, w * 8, 3), dtype)), seed=3)
     cfg = TrainConfig(per_device_batch_size=b)
 
-    def attempt(f_try):
+    def attempt(f_try, adam8=False):
         step, opt = make_controlnet_train_step(
-            unet=unet, vae=vae, clip=clip, controlnet=cn, cfg=cfg,
+            unet=unet, vae=vae, clip=clip, controlnet=cn,
+            cfg=cfg.replace(use_8bit_adam=adam8),
             dtype=dtype)
         state = create_train_state(jax.tree.map(jnp.copy, cn_params), opt)
         rs = np.random.RandomState(0)
@@ -512,24 +513,40 @@ def main_config5():
         return (time.perf_counter() - t0) / reps, loss0
 
     note = None
+    adam8 = bool(os.environ.get("TVI_BENCH_ADAM8"))
     try:
-        t, loss0 = attempt(frames)
+        t, loss0 = attempt(frames, adam8)
     except Exception as e:  # noqa: BLE001
         if "memory" not in str(e).lower():
             raise
-        # fp32 AdamW on the whole 0.68B ControlNet is 10.8 GB of state
-        # next to 4.5 GB frozen models: the reference 14f geometry needs
-        # 18.6 GB and cannot fit one 16 GB chip (measured r5).  Record a
-        # half-frame-count number with the geometry noted.
-        frames //= 2
-        note = ("14f geometry OOMs at compile (18.6 GB of 15.75: fp32 Adam "
-                "state on the whole ControlNet + frozen UNet/VAE/CLIP); "
-                "measured at half frame count")
-        t, loss0 = attempt(frames)
+        if not adam8:
+            # fp32 AdamW on the whole 0.68B ControlNet is 10.8 GB of state
+            # next to 4.5 GB frozen models: the reference 14f geometry
+            # needs 18.6 GB and cannot fit one 16 GB chip (measured r5).
+            # The reference's own remedy is --use_8bit_adam
+            # (src/train.py:392-397); retry with the TPU-native rebuild
+            # (tvi/train/adam8bit.py, int8 blockwise moments: -4 GB).
+            adam8 = True
+            note = ("fp32-Adam 14f geometry OOMs at compile (18.6 GB of "
+                    "15.75); measured with use_8bit_adam (int8 blockwise "
+                    "moments — the reference's --use_8bit_adam remedy)")
+            try:
+                t, loss0 = attempt(frames, adam8=True)
+            except Exception as e2:  # noqa: BLE001
+                if "memory" not in str(e2).lower():
+                    raise
+                frames //= 2
+                note += "; still OOM -> half frame count"
+                t, loss0 = attempt(frames, adam8=True)
+        else:
+            frames //= 2
+            note = "OOM at full frame count; measured at half"
+            t, loss0 = attempt(frames, adam8)
     _set_phase("done")
+    opt_name = "AdamW8bit" if adam8 else "AdamW"
     result = {
         "metric": f"ControlNet train step ({frames}f {width}x{height},"
-                  f" batch {b}, AdamW, first-frame cond)",
+                  f" batch {b}, {opt_name}, first-frame cond)",
         "value": round(t, 4), "unit": "s/step", "vs_baseline": None,
         "loss_finite": bool(np.isfinite(loss0)), "device": str(dev)}
     if note:

@@ -283,6 +283,12 @@ class TrainConfig(_ConfigBase):
     adam_beta2: float = 0.999
     adam_weight_decay: float = 1e-2
     adam_epsilon: float = 1e-8
+    # reference --use_8bit_adam (bitsandbytes AdamW8bit, src/train.py:
+    # 392-397), rebuilt TPU-native as blockwise int8 moment state
+    # (tvi/train/adam8bit.py).  Cuts optimizer state 4x — required to fit
+    # the whole-ControlNet trainer on a 16 GB chip at the reference
+    # geometry (PERF.md round-5 config-5 entry).
+    use_8bit_adam: bool = False
     max_grad_norm: float = 1.0
     mixed_precision: str = "bf16"
     # per-block activation rematerialization (reference train.py:377-379

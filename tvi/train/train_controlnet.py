@@ -53,6 +53,8 @@ def parse_args(argv=None):
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
     p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="blockwise int8-moment AdamW (reference --use_8bit_adam; tvi/train/adam8bit.py)")
     p.add_argument("--seed", type=int, default=23123134)
     p.add_argument("--mixed_precision", choices=["bf16", "fp32"], default="bf16")
     p.add_argument("--gradient_checkpointing", action="store_true")
@@ -80,6 +82,7 @@ def main(argv=None):
     cfg = TrainConfig(
         output_dir=args.output_dir, seed=args.seed,
         learning_rate=args.learning_rate, use_ema=args.use_ema,
+        use_8bit_adam=args.use_8bit_adam,
         conditioning_dropout_prob=args.conditioning_dropout_prob,
         checkpointing_steps=args.checkpointing_steps,
         max_train_steps=args.max_train_steps, trainable="controlnet",

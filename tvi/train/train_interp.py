@@ -74,6 +74,8 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=23123134)
     p.add_argument("--mixed_precision", choices=["bf16", "fp32"], default="bf16")
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="blockwise int8-moment AdamW (reference --use_8bit_adam; tvi/train/adam8bit.py)")
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
     p.add_argument("--projector_input_dim", type=int, default=2048)
     p.add_argument("--report_to", type=str, default="jsonl")
@@ -154,6 +156,7 @@ def main(argv=None):
         checkpointing_steps=args.checkpointing_steps,
         checkpoints_total_limit=args.checkpoints_total_limit,
         validation_steps=args.validation_steps, use_ema=args.use_ema,
+        use_8bit_adam=args.use_8bit_adam,
         use_attention_mask=args.use_attentionmask,
         use_monotonicity_loss=args.use_monotonicity_loss,
         frame_matching=args.frame_matching, lambda_attn=args.lambda_attn,

@@ -63,16 +63,25 @@ class TrainState(flax.struct.PyTreeNode):
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW matching src/train.py:411-418 (+ global-norm clip, the
-    accelerate default the launchers rely on)."""
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
-            learning_rate=optax.schedules.warmup_constant_schedule(
-                0.0, cfg.learning_rate, cfg.lr_warmup_steps)
-            if cfg.lr_warmup_steps > 0 else cfg.learning_rate,
+    accelerate default the launchers rely on).  ``cfg.use_8bit_adam``
+    selects the blockwise int8-moment variant (reference --use_8bit_adam,
+    src/train.py:392-397; tvi/train/adam8bit.py)."""
+    lr = (optax.schedules.warmup_constant_schedule(
+        0.0, cfg.learning_rate, cfg.lr_warmup_steps)
+        if cfg.lr_warmup_steps > 0 else cfg.learning_rate)
+    if cfg.use_8bit_adam:
+        from tvi.train.adam8bit import adamw_8bit
+
+        inner = adamw_8bit(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                           weight_decay=cfg.adam_weight_decay,
+                           eps=cfg.adam_epsilon)
+    else:
+        inner = optax.adamw(
+            learning_rate=lr,
             b1=cfg.adam_beta1, b2=cfg.adam_beta2,
-            weight_decay=cfg.adam_weight_decay, eps=cfg.adam_epsilon),
-    )
+            weight_decay=cfg.adam_weight_decay, eps=cfg.adam_epsilon)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm), inner)
 
 
 def create_train_state(trainable, optimizer, use_ema: bool = False) -> TrainState:
