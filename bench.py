@@ -517,7 +517,8 @@ def main_config5():
     try:
         t, loss0 = attempt(frames, adam8)
     except Exception as e:  # noqa: BLE001
-        if "memory" not in str(e).lower():
+        if not any(m in str(e).lower()
+                   for m in ("memory", "resource", "exhausted")):
             raise
         if not adam8:
             # fp32 AdamW on the whole 0.68B ControlNet is 10.8 GB of state
@@ -533,7 +534,8 @@ def main_config5():
             try:
                 t, loss0 = attempt(frames, adam8=True)
             except Exception as e2:  # noqa: BLE001
-                if "memory" not in str(e2).lower():
+                if not any(m in str(e2).lower()
+                           for m in ("memory", "resource", "exhausted")):
                     raise
                 frames //= 2
                 note += "; still OOM -> half frame count"
