@@ -467,21 +467,30 @@ def main_config5():
                                          param_dtype=dtype)
     cn = ControlNetSVDModel(cn_cfg, dtype=dtype)  # trainable: fp32 params
     h, w = height // 8, width // 8
-    frozen = {
-        "unet": _host_params(dev, lambda: unet.init_params(jax.random.PRNGKey(0))),
-        "vae": _host_params(dev, lambda: vae.init(
-            jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3), dtype), 1), seed=1),
-        "clip": _host_params(dev, lambda: clip.init(
-            jax.random.PRNGKey(2), jnp.zeros((1, 224, 224, 3), dtype)), seed=2),
-    }
-    cn_params = _host_params(
-        dev, lambda: cn.init(
-            jax.random.PRNGKey(3),
-            jnp.zeros((1, 2, h, w, cn_cfg.in_channels), dtype),
+
+    # ONE jitted init program for ALL trees (train_step_probe pattern):
+    # thousands of per-leaf device_puts fragment the 16 GB arena badly
+    # enough that F=3 training RESOURCE_EXHAUSTs at runtime even though
+    # its compiled total fits (measured r5 — same failure PERF.md round-3
+    # session 3 diagnosed); a single program allocates in one clean pass.
+    @jax.jit
+    def init_all():
+        r0, r1, r2, r3 = jax.random.split(jax.random.PRNGKey(0), 4)
+        frozen = {
+            "unet": unet.init_params(r0),
+            "vae": vae.init(r1, jnp.zeros((1, 64, 64, 3), dtype), 1),
+            "clip": clip.init(r2, jnp.zeros((1, 224, 224, 3), dtype)),
+        }
+        cn_params = cn.init(
+            r3, jnp.zeros((1, 2, h, w, cn_cfg.in_channels), dtype),
             jnp.zeros(()),
             jnp.zeros((1, 1, cn_cfg.cross_attention_dim), dtype),
             jnp.zeros((1, 3)),
-            jnp.zeros((1, 2, h * 8, w * 8, 3), dtype)), seed=3)
+            jnp.zeros((1, 2, h * 8, w * 8, 3), dtype))
+        return frozen, cn_params
+
+    frozen, cn_params = init_all()
+    jax.block_until_ready(cn_params)
     cfg = TrainConfig(per_device_batch_size=b)
 
     def attempt(f_try, adam8=False):
@@ -512,38 +521,48 @@ def main_config5():
         _ = float(metrics["loss"])  # readback = sync through the tunnel
         return (time.perf_counter() - t0) / reps, loss0
 
+    def try_once(f_try, a8):
+        # catch-and-return so the failed attempt's traceback (which pins
+        # the 4+ GB of params/optimizer state in its frames) is released
+        # BEFORE the next attempt allocates — retrying inside the except
+        # block OOM'd the fallback itself (measured r5)
+        try:
+            return attempt(f_try, a8), None
+        except Exception as e:  # noqa: BLE001
+            if not any(m in str(e).lower()
+                       for m in ("memory", "resource", "exhausted")):
+                raise
+            return None, f"{type(e).__name__}"
+
+    import gc
+
     note = None
     adam8 = bool(os.environ.get("TVI_BENCH_ADAM8"))
-    try:
-        t, loss0 = attempt(frames, adam8)
-    except Exception as e:  # noqa: BLE001
-        if not any(m in str(e).lower()
-                   for m in ("memory", "resource", "exhausted")):
-            raise
-        if not adam8:
-            # fp32 AdamW on the whole 0.68B ControlNet is 10.8 GB of state
-            # next to 4.5 GB frozen models: the reference 14f geometry
-            # needs 18.6 GB and cannot fit one 16 GB chip (measured r5).
-            # The reference's own remedy is --use_8bit_adam
-            # (src/train.py:392-397); retry with the TPU-native rebuild
-            # (tvi/train/adam8bit.py, int8 blockwise moments: -4 GB).
-            adam8 = True
-            note = ("fp32-Adam 14f geometry OOMs at compile (18.6 GB of "
-                    "15.75); measured with use_8bit_adam (int8 blockwise "
-                    "moments — the reference's --use_8bit_adam remedy)")
-            try:
-                t, loss0 = attempt(frames, adam8=True)
-            except Exception as e2:  # noqa: BLE001
-                if not any(m in str(e2).lower()
-                           for m in ("memory", "resource", "exhausted")):
-                    raise
-                frames //= 2
-                note += "; still OOM -> half frame count"
-                t, loss0 = attempt(frames, adam8=True)
-        else:
-            frames //= 2
-            note = "OOM at full frame count; measured at half"
-            t, loss0 = attempt(frames, adam8)
+    # ladder of (frames, use_8bit_adam) fallbacks; fp32 Adam on the whole
+    # 0.68B ControlNet is 10.8 GB of state next to 4.5 GB frozen models —
+    # the reference 14f geometry needs 18.6 GB and cannot fit one 16 GB
+    # chip (measured r5); the reference's own remedy is --use_8bit_adam
+    # (src/train.py:392-397) -> tvi/train/adam8bit.py (-4 GB).
+    plans = [(frames, adam8), (frames, True), (frames // 2, True),
+             (frames // 4, True)]
+    seen = set()
+    res = None
+    for f_try, a8 in plans:
+        if (f_try, a8) in seen or f_try < 1:
+            continue
+        seen.add((f_try, a8))
+        res, err = try_once(f_try, a8)
+        gc.collect()
+        if res is not None:
+            if (f_try, a8) != plans[0]:
+                note = (f"fallback engaged (first config OOM'd): F={f_try},"
+                        f" use_8bit_adam={a8}")
+            frames, adam8 = f_try, a8
+            break
+        _log(f"config5: F={f_try} adam8={a8} failed ({err}); next fallback")
+    if res is None:
+        raise RuntimeError("config5: every geometry fallback exhausted memory")
+    t, loss0 = res
     _set_phase("done")
     opt_name = "AdamW8bit" if adam8 else "AdamW"
     result = {
