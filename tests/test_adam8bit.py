@@ -98,3 +98,34 @@ def test_trainer_integration_loss_decreases():
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
     assert min(losses[3:]) < losses[0], losses
+
+
+def test_flat_variant_tracks_fp32_adam():
+    """The flat (single-buffer) storage layout — the fix for the per-leaf
+    variant's thousands-of-tiny-kernels launch tax (PERF.md r5 config-5) —
+    optimizes a multi-leaf quadratic like fp32 Adam.  (It is NOT bit-equal
+    to the per-leaf variant: block boundaries differ across the
+    concatenation, so only optimizer QUALITY is asserted.)"""
+    rs = np.random.RandomState(1)
+    target = {"a": jnp.asarray(rs.randn(300, 3), jnp.float32),
+              "b": jnp.asarray(rs.randn(17), jnp.float32)}
+
+    def loss(p):
+        return sum(jnp.sum((p[k] - target[k]) ** 2) for k in p)
+
+    opt8 = adamw_8bit(1e-1, weight_decay=0.0, flat=True)
+    opt32 = optax.adamw(1e-1, weight_decay=0.0)
+    p8 = p32 = jax.tree.map(jnp.zeros_like, target)
+    s8, s32 = opt8.init(p8), opt32.init(p32)
+    for _ in range(60):
+        g = jax.grad(loss)(p8)
+        u, s8 = opt8.update(g, s8, p8)
+        p8 = optax.apply_updates(p8, u)
+        g = jax.grad(loss)(p32)
+        u, s32 = opt32.update(g, s32, p32)
+        p32 = optax.apply_updates(p32, u)
+    z = jax.tree.map(jnp.zeros_like, target)
+    assert float(loss(p8)) < 0.05 * float(loss(z))
+    for k in target:
+        np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p32[k]),
+                                   atol=0.08, rtol=0.1)

@@ -105,12 +105,83 @@ def scale_by_adam_8bit(b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class ScaleByAdam8bitFlatState(NamedTuple):
+    count: jax.Array
+    mu: _Q              # ONE flat _Q over the concatenation of all leaves
+    nu: _Q
+
+
+def scale_by_adam_8bit_flat(b1: float = 0.9, b2: float = 0.999,
+                            eps: float = 1e-8) -> optax.GradientTransformation:
+    """scale_by_adam_8bit with the moments of ALL leaves stored in ONE
+    flat int8 buffer.
+
+    The per-leaf variant emits a handful of kernels per tensor; over the
+    ~700-tensor ControlNet tree that is thousands of tiny kernel launches
+    per step and measured 28 s/step at 0.68B params (PERF.md r5 config-5).
+    Here the update runs as a few BIG elementwise kernels over one
+    contiguous buffer: leaves are flattened once per step (XLA concatenate),
+    updated, and the per-leaf steps sliced back out."""
+
+    def _layout(params):
+        leaves = jax.tree.leaves(params)
+        sizes = [p.size for p in leaves]
+        offs = [0]
+        for s in sizes:
+            offs.append(offs[-1] + s)
+        total = offs[-1]
+        pad = (-total) % BLOCK
+        return sizes, offs, total, pad
+
+    def init_fn(params):
+        _, _, total, pad = _layout(params)
+        n = (total + pad) // BLOCK
+
+        def zq():
+            # distinct buffers for mu and nu: sharing one zeros array
+            # donates the same buffer twice in the donated train step
+            return _Q(jnp.zeros((n * BLOCK,), jnp.int8),
+                      jnp.zeros((n,), jnp.float32))
+
+        return ScaleByAdam8bitFlatState(jnp.zeros((), jnp.int32), zq(), zq())
+
+    def update_fn(updates, state, params=None):  # noqa: ARG001
+        count = optax.safe_increment(state.count)
+        leaves, tdef = jax.tree.flatten(updates)
+        sizes, offs, total, pad = _layout(updates)
+        gf = jnp.concatenate(
+            [g.reshape(-1).astype(jnp.float32) for g in leaves])
+        if pad:
+            gf = jnp.pad(gf, (0, pad))
+        m = b1 * _dequantize(state.mu) + (1 - b1) * gf
+        n = b2 * _dequantize(state.nu) ** 2 + (1 - b2) * gf * gf
+        mhat = m / (1 - b1 ** count.astype(jnp.float32))
+        nhat = n / (1 - b2 ** count.astype(jnp.float32))
+        step = mhat / (jnp.sqrt(nhat) + eps)
+        outs = [
+            jax.lax.dynamic_slice_in_dim(step, o, s).reshape(g.shape)
+            .astype(g.dtype)
+            for g, o, s in zip(leaves, offs, sizes)
+        ]
+        return tdef.unflatten(outs), ScaleByAdam8bitFlatState(
+            count, _quantize(m), _quantize(jnp.sqrt(n)))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def adamw_8bit(learning_rate, b1: float = 0.9, b2: float = 0.999,
-               eps: float = 1e-8,
-               weight_decay: float = 1e-2) -> optax.GradientTransformation:
-    """AdamW with 8-bit moment state (reference AdamW8bit semantics)."""
+               eps: float = 1e-8, weight_decay: float = 1e-2,
+               flat: bool = True) -> optax.GradientTransformation:
+    """AdamW with 8-bit moment state (reference AdamW8bit semantics).
+
+    ``flat=True`` (default) stores all moments in one contiguous buffer —
+    same math as the per-leaf variant (identical update values; only the
+    storage layout differs), minus the thousands-of-tiny-kernels launch
+    tax measured at 0.68B params."""
+    scaler = (scale_by_adam_8bit_flat(b1=b1, b2=b2, eps=eps) if flat
+              else scale_by_adam_8bit(b1=b1, b2=b2, eps=eps))
     return optax.chain(
-        scale_by_adam_8bit(b1=b1, b2=b2, eps=eps),
+        scaler,
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_learning_rate(learning_rate),
     )
